@@ -1,0 +1,523 @@
+"""Expression evaluation: jnp tracing with SQL three-valued logic.
+
+This module is the engine's "codegen": where the reference compiles
+RowExpressions to JVM bytecode per query (``sql/gen/PageFunctionCompiler.java``,
+``sql/gen/ExpressionCompiler.java``), we evaluate the IR with jnp ops inside a
+jit trace, and XLA fuses the resulting elementwise graph into the surrounding
+operator — the same "one fused inner loop per projection" outcome with no
+bytecode machinery.
+
+Null handling follows SQL 3VL (Kleene AND/OR), mirroring the reference's
+null-propagation conventions.  Invalid lanes are normalised to zero so
+garbage never leaks into downstream arithmetic.
+
+String expressions never reach the device: `bind_string_ops` folds any
+subtree over a single varchar column into a DictLookup — a host-evaluated
+table over the column's sorted dictionary, gathered on device.  This is the
+TPU-native replacement for Trino's per-row Slice operations
+(``spi/block/VariableWidthBlock.java``).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..batch import Column, RecordBatch
+from ..types import BIGINT, BOOLEAN, DOUBLE, DecimalType, SqlType, VARCHAR
+from .ir import Call, ColumnRef, DictLookup, Expr, Literal, walk
+
+# ------------------------------------------------------------------ values
+
+# Internal value: (data: jnp.ndarray | scalar, validity: jnp.ndarray | None)
+
+
+def _norm(data, validity):
+    """Zero out invalid lanes so they can't poison later arithmetic."""
+    if validity is None:
+        return data
+    if data.dtype == jnp.bool_:
+        return data & validity
+    return jnp.where(validity, data, jnp.zeros((), data.dtype))
+
+
+def _and_validity(va, vb):
+    if va is None:
+        return vb
+    if vb is None:
+        return va
+    return va & vb
+
+
+def _scale_of(t: SqlType) -> int:
+    return t.scale if t.kind == "decimal" else 0  # type: ignore[attr-defined]
+
+
+def _rescale(data, from_scale: int, to_scale: int):
+    if to_scale == from_scale:
+        return data
+    if to_scale > from_scale:
+        return data * (10 ** (to_scale - from_scale))
+    # Round half away from zero, matching the reference's decimal rescale.
+    f = 10 ** (from_scale - to_scale)
+    return (data + jnp.sign(data) * (f // 2)) // f
+
+
+def _to_double(data, t: SqlType):
+    if t.kind == "decimal":
+        return data.astype(jnp.float64) / (10 ** _scale_of(t))
+    return data.astype(jnp.float64)
+
+
+# ------------------------------------------------------------------ eval
+
+
+def eval_expr(expr: Expr, batch: RecordBatch) -> Column:
+    data, validity, dictionary = _eval(expr, batch)
+    n = batch.capacity()
+    if not hasattr(data, "shape") or data.shape == ():
+        data = jnp.full((n,), data, dtype=np.dtype(expr.type.np_dtype))
+    return Column(data, expr.type, validity=validity, dictionary=dictionary)
+
+
+def eval_predicate(expr: Expr, batch: RecordBatch) -> jnp.ndarray:
+    """WHERE semantics: NULL counts as false."""
+    c = eval_expr(expr, batch)
+    mask = c.data
+    if c.validity is not None:
+        mask = mask & c.validity
+    return mask
+
+
+def _eval(expr: Expr, batch: RecordBatch):
+    if isinstance(expr, Literal):
+        return _literal_value(expr), None, None
+    if isinstance(expr, ColumnRef):
+        c = batch[expr.name]
+        return c.data, c.validity, c.dictionary
+    if isinstance(expr, DictLookup):
+        c = batch[expr.column.name]
+        table = jnp.asarray(expr.table)
+        overflow = len(expr.table) - 1
+        codes = jnp.where(
+            (c.data >= 0) & (c.data < overflow), c.data, overflow
+        )
+        data = jnp.take(table, codes)
+        return _norm(data, c.validity), c.validity, expr.dictionary
+    if isinstance(expr, Call):
+        return _eval_call(expr, batch)
+    raise TypeError(f"cannot evaluate {expr}")
+
+
+def _literal_value(expr: Literal):
+    t = expr.type
+    if t.kind == "decimal":
+        return jnp.asarray(int(expr.value), dtype=jnp.int64)
+    if t.is_string:
+        raise TypeError(
+            "string literal reached device evaluation — bind_string_ops "
+            f"should have folded it ({expr.value!r})"
+        )
+    return jnp.asarray(expr.value, dtype=np.dtype(t.np_dtype))
+
+
+def _eval_call(expr: Call, batch: RecordBatch):
+    fn = expr.fn
+
+    if fn in ("and", "or"):
+        a, va, _ = _eval(expr.args[0], batch)
+        b, vb, _ = _eval(expr.args[1], batch)
+        if fn == "and":
+            data = a & b
+            if va is None and vb is None:
+                return data, None, None
+            ta = a if va is None else (a & va)
+            tb = b if vb is None else (b & vb)
+            fa = (~a) if va is None else ((~a) & va)
+            fb = (~b) if vb is None else ((~b) & vb)
+            validity = (ta & tb) | fa | fb  # known unless an unknown survives
+            return _norm(data, validity), validity, None
+        else:
+            data = a | b
+            if va is None and vb is None:
+                return data, None, None
+            ta = a if va is None else (a & va)
+            tb = b if vb is None else (b & vb)
+            fa = (~a) if va is None else ((~a) & va)
+            fb = (~b) if vb is None else ((~b) & vb)
+            validity = (fa & fb) | ta | tb
+            return _norm(data, validity), validity, None
+
+    if fn == "not":
+        a, va, _ = _eval(expr.args[0], batch)
+        return _norm(~a, va), va, None
+
+    if fn == "is_null":
+        _, va, _ = _eval(expr.args[0], batch)
+        n = batch.capacity()
+        if va is None:
+            return jnp.zeros((n,), dtype=jnp.bool_), None, None
+        return ~va, None, None
+
+    if fn == "coalesce":
+        data, validity, d = _eval(expr.args[0], batch)
+        for a in expr.args[1:]:
+            if validity is None:
+                break
+            db, vb, _ = _eval(a, batch)
+            data = jnp.where(validity, data, db)
+            validity = validity | (jnp.ones_like(validity) if vb is None else vb)
+        return _norm(data, validity), validity, d
+
+    if fn == "case":
+        # args = [c1, v1, c2, v2, ..., else]
+        args = expr.args
+        out_t = expr.type
+        data, validity, _ = _eval_coerced(args[-1], batch, out_t)
+        n = batch.capacity()
+        if validity is None:
+            validity = jnp.ones((n,), dtype=jnp.bool_)
+        for i in range(len(args) - 3, -1, -2):
+            cond, vc, _ = _eval(args[i], batch)
+            val, vv, _ = _eval_coerced(args[i + 1], batch, out_t)
+            take = cond if vc is None else (cond & vc)
+            data = jnp.where(take, val, data)
+            vv_arr = jnp.ones((n,), dtype=jnp.bool_) if vv is None else vv
+            validity = jnp.where(take, vv_arr, validity)
+        return _norm(data, validity), validity, None
+
+    if fn == "in":
+        child, vc, _ = _eval(expr.args[0], batch)
+        t = expr.args[0].type
+        hits = None
+        for a in expr.args[1:]:
+            av, _, _ = _eval_coerced(a, batch, t)
+            h = child == av
+            hits = h if hits is None else (hits | h)
+        return _norm(hits, vc), vc, None
+
+    if fn == "cast":
+        return _eval_cast(expr, batch)
+
+    if fn in ("extract_year", "extract_month"):
+        days, va, _ = _eval(expr.args[0], batch)
+        y, m = _civil_from_days(days)
+        out = y if fn == "extract_year" else m
+        return _norm(out.astype(jnp.int64), va), va, None
+
+    if fn in ("=", "<>", "<", "<=", ">", ">="):
+        return _eval_compare(expr, batch)
+
+    if fn in ("+", "-", "*", "/", "min2", "max2"):
+        return _eval_arith(expr, batch)
+
+    if fn == "neg":
+        a, va, _ = _eval(expr.args[0], batch)
+        return _norm(-a, va), va, None
+
+    if fn in ("like", "substring", "||"):
+        raise TypeError(
+            f"string op '{fn}' reached device evaluation — run bind_string_ops first"
+        )
+    raise NotImplementedError(f"function {fn}")
+
+
+def _eval_coerced(expr: Expr, batch: RecordBatch, target: SqlType):
+    data, validity, d = _eval(expr, batch)
+    t = expr.type
+    if t == target:
+        return data, validity, d
+    if target.kind == "double":
+        return _to_double(data, t), validity, d
+    if target.kind == "decimal":
+        if t.kind in ("bigint", "integer", "decimal"):
+            return _rescale(
+                data.astype(jnp.int64), _scale_of(t), _scale_of(target)
+            ), validity, d
+    if target.kind == "bigint":
+        return data.astype(jnp.int64), validity, d
+    if target.kind == "integer":
+        return data.astype(jnp.int32), validity, d
+    if target.kind == t.kind:
+        return data, validity, d
+    raise TypeError(f"cannot coerce {t} -> {target}")
+
+
+def _common_pair(ea: Expr, eb: Expr, batch: RecordBatch):
+    from ..types import common_supertype
+
+    a, va, _ = _eval(ea, batch)
+    b, vb, _ = _eval(eb, batch)
+    ta, tb = ea.type, eb.type
+    if ta.is_string or tb.is_string:
+        raise TypeError("string comparison reached device evaluation")
+    if ta == tb:
+        return a, b, va, vb, ta
+    t = common_supertype(ta, tb)
+    if t.kind == "double":
+        return _to_double(a, ta), _to_double(b, tb), va, vb, t
+    if t.kind == "decimal":
+        s = max(_scale_of(ta), _scale_of(tb))
+        t = DecimalType(38, s)
+        return (
+            _rescale(a.astype(jnp.int64), _scale_of(ta), s),
+            _rescale(b.astype(jnp.int64), _scale_of(tb), s),
+            va, vb, t,
+        )
+    return a.astype(np.dtype(t.np_dtype)), b.astype(np.dtype(t.np_dtype)), va, vb, t
+
+
+def _eval_compare(expr: Call, batch: RecordBatch):
+    a, b, va, vb, _ = _common_pair(expr.args[0], expr.args[1], batch)
+    fn = expr.fn
+    if fn == "=":
+        out = a == b
+    elif fn == "<>":
+        out = a != b
+    elif fn == "<":
+        out = a < b
+    elif fn == "<=":
+        out = a <= b
+    elif fn == ">":
+        out = a > b
+    else:
+        out = a >= b
+    v = _and_validity(va, vb)
+    return _norm(out, v), v, None
+
+
+def _eval_arith(expr: Call, batch: RecordBatch):
+    fn = expr.fn
+    ea, eb = expr.args[0], expr.args[1]
+    ta, tb = ea.type, eb.type
+    out_t = expr.type
+
+    if fn == "*" and out_t.kind == "decimal":
+        a, va, _ = _eval(ea, batch)
+        b, vb, _ = _eval(eb, batch)
+        a = a.astype(jnp.int64) if ta.kind != "double" else a
+        b = b.astype(jnp.int64) if tb.kind != "double" else b
+        v = _and_validity(va, vb)
+        return _norm(a * b, v), v, None
+
+    if fn == "/" and (ta.kind == "decimal" or tb.kind == "decimal") and out_t.kind == "double":
+        a, va, _ = _eval(ea, batch)
+        b, vb, _ = _eval(eb, batch)
+        v = _and_validity(va, vb)
+        out = _to_double(a, ta) / _to_double(b, tb)
+        return _norm(out, v), v, None
+
+    a, b, va, vb, t = _common_pair(ea, eb, batch)
+    v = _and_validity(va, vb)
+    if fn == "+":
+        out = a + b
+    elif fn == "-":
+        out = a - b
+    elif fn == "*":
+        out = a * b
+    elif fn == "min2":
+        out = jnp.minimum(a, b)
+    elif fn == "max2":
+        out = jnp.maximum(a, b)
+    else:  # '/'
+        if t.kind == "double" or out_t.kind == "double":
+            out = _to_double(a, t) / _to_double(b, t)
+        else:
+            out = a // b
+    if out_t.kind == "double" and out.dtype != jnp.float64:
+        out = _to_double(out, t)
+    return _norm(out, v), v, None
+
+
+def _eval_cast(expr: Call, batch: RecordBatch):
+    child = expr.args[0]
+    data, validity, d = _eval(child, batch)
+    t, target = child.type, expr.type
+    if target.kind == "double":
+        return _to_double(data, t), validity, None
+    if target.kind == "decimal":
+        if t.kind == "double":
+            s = 10 ** _scale_of(target)
+            return jnp.round(data * s).astype(jnp.int64), validity, None
+        return _rescale(data.astype(jnp.int64), _scale_of(t), _scale_of(target)), validity, None
+    if target.kind == "bigint":
+        if t.kind == "decimal":
+            return _rescale(data, _scale_of(t), 0), validity, None
+        return data.astype(jnp.int64), validity, None
+    if target.kind == "integer":
+        return data.astype(jnp.int32), validity, None
+    if target.kind == t.kind:
+        return data, validity, d
+    raise TypeError(f"cast {t} -> {target} unsupported on device")
+
+
+def _civil_from_days(days):
+    """days-since-epoch → (year, month); Howard Hinnant's civil_from_days."""
+    z = days.astype(jnp.int64) + 719468
+    era = jnp.floor_divide(z, 146097)
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    m = jnp.where(mp < 10, mp + 3, mp - 9)
+    y = y + (m <= 2)
+    return y, m
+
+
+# ------------------------------------------------- string-op binding (host)
+
+
+def bind_string_ops(expr: Expr, dicts: Dict[str, np.ndarray]) -> Expr:
+    """Fold every maximal single-varchar-column subtree into a DictLookup.
+
+    ``dicts`` maps column name -> sorted dictionary (np str array).
+    """
+    if isinstance(expr, (Literal, ColumnRef, DictLookup)):
+        return expr
+    assert isinstance(expr, Call)
+    if _foldable(expr, dicts):
+        return _fold(expr, dicts)
+    return Call(expr.fn, tuple(bind_string_ops(a, dicts) for a in expr.args), expr.type)
+
+
+def _string_columns(expr: Expr):
+    return {
+        e.name for e in walk(expr)
+        if isinstance(e, ColumnRef) and e.type.is_string
+    }
+
+
+def _foldable(expr: Call, dicts) -> bool:
+    cols = _string_columns(expr)
+    if len(cols) != 1 or next(iter(cols)) not in dicts:
+        return False
+    if expr.type.is_string:
+        return True  # varchar-valued subtree (e.g. substring for group key)
+    # predicate/numeric over strings: every leaf must be the one varchar
+    # column or a literal (no mixed numeric columns in the folded subtree)
+    for e in walk(expr):
+        if isinstance(e, ColumnRef) and not e.type.is_string:
+            return False
+        if isinstance(e, DictLookup):
+            return False
+    # only fold nodes that actually consume strings
+    return any(
+        isinstance(e, (ColumnRef, Literal)) and e.type.is_string for e in walk(expr)
+    )
+
+
+def _fold(expr: Call, dicts) -> Expr:
+    name = next(iter(_string_columns(expr)))
+    dictionary = dicts[name]
+    values = _eval_strings(expr, dictionary)
+    colref = next(
+        e for e in walk(expr) if isinstance(e, ColumnRef) and e.name == name
+    )
+    if expr.type.is_string:
+        new_dict, codes = np.unique(np.asarray(values, dtype=dictionary.dtype), return_inverse=True)
+        table = np.append(codes.astype(np.int32), np.int32(0))
+        return DictLookup(colref, table, VARCHAR, label=_label(expr), dictionary=new_dict)
+    table = np.asarray(values)
+    table = np.append(table, np.zeros((1,), dtype=table.dtype))
+    return DictLookup(colref, table, expr.type, label=_label(expr))
+
+
+def _label(expr: Expr) -> str:
+    if isinstance(expr, Literal):
+        return repr(expr.value)
+    if isinstance(expr, ColumnRef):
+        return expr.name
+    if isinstance(expr, Call):
+        return f"{expr.fn}({','.join(_label(a) for a in expr.args)})"
+    return "?"
+
+
+def _eval_strings(expr: Expr, values: np.ndarray):
+    """Host evaluation of a string subtree over dictionary entries."""
+    if isinstance(expr, ColumnRef):
+        return values
+    if isinstance(expr, Literal):
+        if expr.type.kind == "decimal":
+            return expr.value / (10 ** _scale_of(expr.type))
+        return expr.value
+    assert isinstance(expr, Call)
+    fn = expr.fn
+    args = [_eval_strings(a, values) for a in expr.args]
+    if fn == "like":
+        return _like(args[0], expr.args[1].value)
+    if fn == "substring":
+        start, length = int(args[1]), (int(args[2]) if len(args) > 2 else None)
+        s = start - 1
+        e = None if length is None else s + length
+        return np.array([v[s:e] for v in args[0]], dtype=values.dtype)
+    if fn == "||":
+        return np.char.add(np.asarray(args[0], dtype=str), np.asarray(args[1], dtype=str))
+    if fn == "=":
+        return np.asarray(args[0]) == args[1] if np.ndim(args[0]) else args[0] == np.asarray(args[1])
+    if fn == "<>":
+        return np.asarray(args[0]) != args[1]
+    if fn == "<":
+        return np.asarray(args[0]) < args[1]
+    if fn == "<=":
+        return np.asarray(args[0]) <= args[1]
+    if fn == ">":
+        return np.asarray(args[0]) > args[1]
+    if fn == ">=":
+        return np.asarray(args[0]) >= args[1]
+    if fn == "in":
+        hay = np.asarray(args[0])
+        return np.isin(hay, np.asarray(args[1:]))
+    if fn == "not":
+        return ~np.asarray(args[0])
+    if fn == "and":
+        return np.asarray(args[0]) & np.asarray(args[1])
+    if fn == "or":
+        return np.asarray(args[0]) | np.asarray(args[1])
+    if fn == "case":
+        out = np.broadcast_to(np.asarray(args[-1]), values.shape).copy()
+        for i in range(len(args) - 3, -1, -2):
+            cond = np.broadcast_to(np.asarray(args[i]), values.shape)
+            val = np.broadcast_to(np.asarray(args[i + 1]), values.shape)
+            out = np.where(cond, val, out)
+        return out
+    if fn == "cast":
+        return np.asarray(args[0]).astype(expr.type.np_dtype)
+    raise NotImplementedError(f"host string op {fn}")
+
+
+@lru_cache(maxsize=512)
+def _like_regex(pattern: str):
+    out = []
+    for ch in pattern:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return re.compile("".join(out), re.DOTALL)
+
+
+def _like(values: np.ndarray, pattern: str) -> np.ndarray:
+    # fast paths for the common shapes (prefix/suffix/contains of literals)
+    body = pattern.strip("%")
+    n_pct = pattern.count("%")
+    if "_" not in pattern and "%" not in body:
+        v = values.astype(str) if values.dtype.kind != "U" else values
+        if n_pct == 0:
+            return v == pattern
+        if pattern.startswith("%") and pattern.endswith("%") and n_pct == 2:
+            return np.char.find(v, body) >= 0
+        if pattern.endswith("%") and n_pct == 1:
+            return np.char.startswith(v, body)
+        if pattern.startswith("%") and n_pct == 1:
+            return np.char.endswith(v, body)
+    rx = _like_regex(pattern)
+    return np.fromiter(
+        (rx.fullmatch(s) is not None for s in values), dtype=bool, count=len(values)
+    )

@@ -1,0 +1,161 @@
+"""Row-expression IR.
+
+The functional replacement for the reference's ``sql/relational`` RowExpression
+kinds (CallExpression, ConstantExpression, InputReferenceExpression,
+SpecialForm — ``core/trino-main/.../sql/relational/``).  Where Trino compiles
+RowExpressions to JVM bytecode at query time (``sql/gen/PageFunctionCompiler``),
+we trace them with jax.jit: `eval_expr` *is* the codegen.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+import numpy as np
+
+from ..types import BOOLEAN, DOUBLE, SqlType, DecimalType, common_supertype
+
+
+@dataclass(frozen=True)
+class Expr:
+    type: SqlType = field(init=False)
+
+
+@dataclass(frozen=True)
+class Literal(Expr):
+    value: Any
+    type: SqlType
+
+    def __init__(self, value, type):
+        object.__setattr__(self, "value", value)
+        object.__setattr__(self, "type", type)
+
+
+@dataclass(frozen=True)
+class ColumnRef(Expr):
+    name: str
+    type: SqlType
+
+    def __init__(self, name, type):
+        object.__setattr__(self, "name", name)
+        object.__setattr__(self, "type", type)
+
+
+@dataclass(frozen=True)
+class Call(Expr):
+    """fn ∈ {'+','-','*','/','neg','=','<>','<','<=','>','>=','and','or',
+    'not','in','case','cast','is_null','coalesce','extract_year','like',
+    'substring','||','min2','max2'} — string-typed subtrees are folded into
+    DictLookup before device evaluation (see eval.bind_string_ops)."""
+
+    fn: str
+    args: Tuple[Expr, ...]
+    type: SqlType
+
+    def __init__(self, fn, args, type):
+        object.__setattr__(self, "fn", fn)
+        object.__setattr__(self, "args", tuple(args))
+        object.__setattr__(self, "type", type)
+
+
+@dataclass(frozen=True)
+class DictLookup(Expr):
+    """table[codes(column)] — a string-expression subtree pre-evaluated over
+    one varchar column's dictionary.  ``table`` has one entry per dictionary
+    code (+1 overflow slot for out-of-range/null codes)."""
+
+    column: ColumnRef
+    table: Any  # np.ndarray, len = len(dictionary) + 1
+    type: SqlType
+    label: str = ""
+    dictionary: Any = None  # for varchar-valued lookups: the new sorted dict
+
+    def __init__(self, column, table, type, label="", dictionary=None):
+        object.__setattr__(self, "column", column)
+        object.__setattr__(self, "table", table)
+        object.__setattr__(self, "type", type)
+        object.__setattr__(self, "label", label)
+        object.__setattr__(self, "dictionary", dictionary)
+
+    def __hash__(self):
+        return hash((self.column, self.label, id(self.table)))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, DictLookup)
+            and self.column == other.column
+            and self.label == other.label
+            and self.table is other.table
+        )
+
+
+# ---------------------------------------------------------------- helpers
+
+_CMP = ("=", "<>", "<", "<=", ">", ">=")
+_BOOL = ("and", "or", "not")
+
+
+def lit(value, type=None) -> Literal:
+    if type is None:
+        if isinstance(value, bool):
+            type = BOOLEAN
+        elif isinstance(value, int):
+            from ..types import BIGINT
+
+            type = BIGINT
+        elif isinstance(value, float):
+            type = DOUBLE
+        else:
+            raise TypeError(f"cannot infer literal type for {value!r}")
+    return Literal(value, type)
+
+
+def col(name, type) -> ColumnRef:
+    return ColumnRef(name, type)
+
+
+def call(fn: str, *args: Expr, type: Optional[SqlType] = None) -> Call:
+    if type is None:
+        type = infer_type(fn, args)
+    return Call(fn, args, type)
+
+
+def infer_type(fn: str, args) -> SqlType:
+    if fn in _CMP or fn in _BOOL or fn in ("in", "is_null", "like"):
+        return BOOLEAN
+    if fn in ("+", "-", "*", "/", "min2", "max2"):
+        t = common_supertype(args[0].type, args[1].type)
+        if fn == "*" and t.kind == "decimal":
+            a, b = args[0].type, args[1].type
+            sa = a.scale if a.kind == "decimal" else 0  # type: ignore[attr-defined]
+            sb = b.scale if b.kind == "decimal" else 0  # type: ignore[attr-defined]
+            return DecimalType(38, sa + sb)
+        if fn == "/" and t.kind == "decimal":
+            return DOUBLE  # simple policy; reference uses decimal division rules
+        return t
+    if fn == "neg":
+        return args[0].type
+    if fn == "extract_year":
+        from ..types import BIGINT
+
+        return BIGINT
+    if fn == "coalesce":
+        return args[0].type
+    if fn == "case":
+        # args = [cond1, val1, cond2, val2, ..., else_val]
+        return args[1].type
+    raise TypeError(f"cannot infer result type of {fn}")
+
+
+def walk(expr: Expr):
+    yield expr
+    if isinstance(expr, Call):
+        for a in expr.args:
+            yield from walk(a)
+    elif isinstance(expr, DictLookup):
+        yield expr.column
+
+
+def referenced_columns(expr: Expr):
+    return {e.name for e in walk(expr) if isinstance(e, ColumnRef)}

@@ -1,0 +1,90 @@
+"""Shared operator utilities: key packing and row-index helpers.
+
+Replaces the reference's compiled hash strategies (``sql/gen/JoinCompiler``,
+``operator/GroupByHash``'s per-type fast paths): instead of per-row hashing
+of multi-channel keys, we bit-pack the normalised key columns into one int64
+word (TPC-H composite keys fit comfortably), so grouping and join matching
+become integer sort/search problems that XLA maps onto the VPU.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..batch import Column
+
+INT64_MAX = np.iinfo(np.int64).max
+
+
+def key_ranges(cols: Sequence[Column], num_rows) -> List[Tuple[int, int]]:
+    """Host-synced (min, max) per key column over the first num_rows rows.
+
+    Used by the eager executor; fused fragments pass static ranges from
+    table statistics instead (the TPC-H catalog knows exact ranges).
+    """
+    out = []
+    for c in cols:
+        n = len(c)
+        idx = jnp.arange(n)
+        live = idx < num_rows
+        if c.validity is not None:
+            live = live & c.validity
+        data = c.data.astype(jnp.int64)
+        lo = jnp.min(jnp.where(live, data, INT64_MAX))
+        hi = jnp.max(jnp.where(live, data, -INT64_MAX))
+        lo_i, hi_i = int(lo), int(hi)
+        if lo_i > hi_i:  # all-null / empty
+            lo_i, hi_i = 0, 0
+        out.append((lo_i, hi_i))
+    return out
+
+
+def pack_keys(
+    cols: Sequence[Column],
+    ranges: Sequence[Tuple[int, int]],
+    num_rows,
+    mask: Optional[jnp.ndarray] = None,
+    null_high: bool = False,
+) -> jnp.ndarray:
+    """Bit-pack key columns into one int64 word.
+
+    Each column is normalised to ``value - min + 1`` (0 is reserved for
+    NULL, or the per-column top code when ``null_high``), then packed
+    little-endian by shifts.  Rows beyond ``num_rows`` or excluded by
+    ``mask`` get the global sentinel INT64_MAX so they sort to the end.
+
+    Raises if the composite key exceeds 63 bits (TPC-H's widest composite —
+    partsupp's (partkey, suppkey) — fits at every published scale factor).
+    """
+    widths = []
+    for (lo, hi) in ranges:
+        span = hi - lo + 2  # +1 for null slot, +1 so max value < 2**w
+        widths.append(max(int(span).bit_length(), 1))
+    total = sum(widths)
+    if total > 63:
+        raise NotImplementedError(
+            f"composite key needs {total} bits; multi-word packing TBD"
+        )
+    n = len(cols[0])
+    word = jnp.zeros((n,), dtype=jnp.int64)
+    shift = 0
+    for c, (lo, hi), w in zip(cols, ranges, widths):
+        v = c.data.astype(jnp.int64) - lo + 1
+        v = jnp.clip(v, 0, (1 << w) - 1)
+        if c.validity is not None:
+            nullcode = (hi - lo + 2) if null_high else 0
+            v = jnp.where(c.validity, v, nullcode)
+        word = word | (v << shift)
+        shift += w
+    idx = jnp.arange(n)
+    dead = idx >= num_rows
+    if mask is not None:
+        dead = dead | ~mask
+    return jnp.where(dead, INT64_MAX, word)
+
+
+def iota(n: int) -> jnp.ndarray:
+    return jnp.arange(n, dtype=jnp.int64)

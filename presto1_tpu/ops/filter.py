@@ -1,0 +1,55 @@
+"""Filter / project / compaction.
+
+The reference's ``FilterAndProjectOperator`` + ``PageProcessor``
+(``core/trino-main/.../operator/project/PageProcessor.java:54``) produce a
+``SelectedPositions`` list and re-materialise blocks.  On TPU the natural
+split is:
+
+* **mask-only filtering** — downstream operators take the boolean mask and
+  never materialise the compacted rows (aggregations, joins); this is the
+  common fused path and costs one vector op.
+* **compaction** — ``jnp.nonzero(..., size=capacity)`` gives a static-shape
+  stable compaction when the row set must actually shrink (e.g. before a
+  wide join).  A Pallas masked-compaction kernel can replace this when
+  profiling says so.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+
+from ..batch import Column, RecordBatch
+from ..expr.ir import Expr
+from ..expr.eval import eval_expr, eval_predicate
+
+
+def filter_mask(predicate: Expr, batch: RecordBatch) -> jnp.ndarray:
+    """Predicate mask with rows past num_rows excluded."""
+    mask = eval_predicate(predicate, batch)
+    n = batch.capacity()
+    live = jnp.arange(n) < batch.num_rows
+    return mask & live
+
+
+def compact(batch: RecordBatch, mask: jnp.ndarray,
+            capacity: Optional[int] = None) -> RecordBatch:
+    """Stable-compact rows where mask is True into a padded batch."""
+    cap = capacity if capacity is not None else batch.capacity()
+    idx = jnp.nonzero(mask, size=cap, fill_value=0)[0]
+    count = jnp.sum(mask)
+    return batch.gather(idx, count)
+
+
+def filter_batch(predicate: Expr, batch: RecordBatch,
+                 capacity: Optional[int] = None) -> RecordBatch:
+    return compact(batch, filter_mask(predicate, batch), capacity)
+
+
+def project(batch: RecordBatch, exprs: Dict[str, Expr]) -> RecordBatch:
+    """Evaluate named expressions into a new batch (XLA fuses the chain)."""
+    cols: Dict[str, Column] = {}
+    for name, e in exprs.items():
+        cols[name] = eval_expr(e, batch)
+    return RecordBatch(cols, batch.num_rows)

@@ -1,0 +1,148 @@
+"""Equi-join: sorted build side + vectorized binary-search probe.
+
+The reference's join (``operator/PagesHash.java:76`` linear-probe hash table,
+``operator/LookupJoinOperator.java:285`` per-row probe loop with PositionLinks
+chains) is replaced by a fully data-parallel design:
+
+* **build**: sort the packed build keys once (``lax.sort``) — duplicates are
+  adjacent, so Trino's PositionLinks chain becomes a contiguous range.
+* **probe**: two vectorized ``searchsorted`` calls give every probe row its
+  match range ``[lo, hi)`` — the "hash lookup" is a log2(n)-step dense
+  binary search with no control flow.
+* **expand**: the classic prefix-sum expansion turns per-row match counts
+  into flat output pairs inside a static-capacity buffer.
+
+1:N matches, LEFT padding, SEMI/ANTI and residual (non-equi) conditions all
+fall out of the same three steps.  A Pallas hash-probe kernel can later
+replace the searchsorted pair for O(1) probes; the surrounding contract
+(static capacity + count) stays identical.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..batch import Column, RecordBatch
+from ..expr.ir import Expr
+from ..expr.eval import eval_predicate
+from .common import INT64_MAX, iota, pack_keys
+
+
+def _probe_ranges(probe, build, probe_keys, build_keys, ranges):
+    np_, nb = probe.capacity(), build.capacity()
+    bk = pack_keys([build[k] for k in build_keys], ranges, build.num_rows,
+                   null_high=True)
+    pk = pack_keys([probe[k] for k in probe_keys], ranges, probe.num_rows)
+    sorted_bk, bperm = jax.lax.sort((bk, iota(nb)), num_keys=1)
+    lo = jnp.searchsorted(sorted_bk, pk, side="left")
+    hi = jnp.searchsorted(sorted_bk, pk, side="right")
+    live = iota(np_) < probe.num_rows
+    counts = jnp.where(live, hi - lo, 0)
+    return lo, counts, bperm, live
+
+
+def _expand(probe, build, lo, counts_real, counts_emit, bperm, capacity):
+    """Prefix-sum expansion of match ranges into a flat pair batch."""
+    np_ = probe.capacity()
+    nb = build.capacity()
+    offsets = jnp.cumsum(counts_emit)
+    total = offsets[-1] if np_ > 0 else jnp.asarray(0, jnp.int64)
+    out_i = iota(capacity)
+    pidx = jnp.searchsorted(offsets, out_i, side="right")
+    pidx = jnp.clip(pidx, 0, np_ - 1)
+    start = offsets[pidx] - counts_emit[pidx]
+    k = out_i - start
+    matched = k < counts_real[pidx]
+    bpos = jnp.take(bperm, jnp.clip(lo[pidx] + k, 0, max(nb - 1, 0)), mode="clip")
+    out_live = out_i < total
+
+    cols = {}
+    for name, c in probe.columns.items():
+        cols[name] = c.gather(pidx)
+    for name, c in build.columns.items():
+        cols[name] = c.gather(bpos, valid=matched)
+    return RecordBatch(cols, total), pidx, matched, out_live
+
+
+def hash_join(
+    probe: RecordBatch,
+    build: RecordBatch,
+    probe_keys: Sequence[str],
+    build_keys: Sequence[str],
+    kind: str,  # 'inner' | 'left' | 'semi' | 'anti'
+    ranges: Sequence[Tuple[int, int]],
+    capacity: int,
+    residual: Optional[Expr] = None,
+) -> RecordBatch:
+    lo, counts, bperm, live = _probe_ranges(probe, build, probe_keys, build_keys, ranges)
+    np_ = probe.capacity()
+
+    if kind in ("semi", "anti") and residual is None:
+        hit = counts > 0
+        mask = (hit if kind == "semi" else ~hit) & live
+        idx = jnp.nonzero(mask, size=capacity, fill_value=0)[0]
+        return probe.gather(idx, jnp.sum(mask))
+
+    if kind in ("semi", "anti"):
+        # expand all candidate pairs, apply residual, reduce per probe row
+        pairs, pidx, matched, out_live = _expand(
+            probe, build, lo, counts, counts, bperm, capacity)
+        rm = eval_predicate(residual, pairs) & matched & out_live
+        hits = jax.ops.segment_sum(
+            rm.astype(jnp.int32), pidx, num_segments=np_)
+        hit = hits > 0
+        mask = (hit if kind == "semi" else ~hit) & live
+        idx = jnp.nonzero(mask, size=np_, fill_value=0)[0]
+        return probe.gather(idx, jnp.sum(mask))
+
+    if kind == "inner":
+        pairs, pidx, matched, out_live = _expand(
+            probe, build, lo, counts, counts, bperm, capacity)
+        if residual is not None:
+            rm = eval_predicate(residual, pairs) & out_live
+            idx = jnp.nonzero(rm, size=capacity, fill_value=0)[0]
+            return pairs.gather(idx, jnp.sum(rm))
+        return pairs
+
+    if kind == "left":
+        if residual is not None:
+            raise NotImplementedError(
+                "LEFT JOIN with residual condition (push single-side "
+                "conjuncts below the join instead)")
+        counts_emit = jnp.where(live, jnp.maximum(counts, 1), 0)
+        pairs, pidx, matched, out_live = _expand(
+            probe, build, lo, counts, counts_emit, bperm, capacity)
+        return pairs
+
+    raise NotImplementedError(f"join kind {kind}")
+
+
+def cross_join(probe: RecordBatch, build: RecordBatch, capacity: int) -> RecordBatch:
+    """Cartesian product; the planner only emits this for tiny build sides
+    (scalar subqueries), where it is a broadcast."""
+    nb_rows = build.num_rows
+    np_ = probe.capacity()
+    if isinstance(nb_rows, int) and nb_rows == 1:
+        cols = dict(probe.columns)
+        for name, c in build.columns.items():
+            data = jnp.broadcast_to(c.data[:1], (np_,) + c.data.shape[1:])
+            validity = None
+            if c.validity is not None:
+                validity = jnp.broadcast_to(c.validity[:1], (np_,))
+            cols[name] = Column(data, c.type, validity=validity,
+                                dictionary=c.dictionary)
+        return RecordBatch(cols, probe.num_rows)
+    nb = build.capacity()
+    out_i = iota(capacity)
+    pidx = jnp.clip(out_i // nb_rows, 0, np_ - 1)
+    bpos = out_i % jnp.maximum(nb_rows, 1)
+    total = probe.num_rows * nb_rows
+    cols = {}
+    for name, c in probe.columns.items():
+        cols[name] = c.gather(pidx)
+    for name, c in build.columns.items():
+        cols[name] = c.gather(jnp.clip(bpos, 0, nb - 1))
+    return RecordBatch(cols, total)

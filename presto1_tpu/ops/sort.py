@@ -1,0 +1,79 @@
+"""ORDER BY / TopN / LIMIT.
+
+The reference sorts via PagesIndex + a bytecode-compiled comparator
+quicksort (``operator/PagesIndexOrdering.java:37``, adapted from fastutil).
+Here every sort key is transformed into a monotone word and the whole batch
+is ordered by one multi-operand ``lax.sort`` (XLA's parallel sort, to be
+superseded by a Pallas radix sort on the hot paths).  Comparator logic
+disappears: DESC is negation, null ordering is a sentinel, row liveness is
+a leading key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..batch import Column, RecordBatch
+from .common import iota
+
+
+@dataclass
+class SortKey:
+    column: Column  # evaluated key
+    ascending: bool = True
+    nulls_first: Optional[bool] = None  # None = Trino default (last if asc)
+
+
+def _sortable(key: SortKey, n: int):
+    c = key.column
+    data = c.data
+    if data.dtype.kind == "f":
+        word = data.astype(jnp.float64)
+        big = jnp.asarray(np.inf, word.dtype)
+    else:
+        word = data.astype(jnp.int64)
+        big = jnp.asarray(np.iinfo(np.int64).max // 2, word.dtype)
+    nulls_first = (not key.ascending) if key.nulls_first is None else key.nulls_first
+    if c.validity is not None:
+        null_word = -big if (nulls_first == key.ascending) else big
+        word = jnp.where(c.validity, word, null_word)
+    if not key.ascending:
+        word = -word
+    return word
+
+
+def sort_batch(batch: RecordBatch, keys: List[SortKey],
+               limit: Optional[int] = None) -> RecordBatch:
+    n = batch.capacity()
+    dead = (iota(n) >= batch.num_rows).astype(jnp.int8)
+    operands = [dead] + [_sortable(k, n) for k in keys] + [iota(n)]
+    out = jax.lax.sort(tuple(operands), num_keys=len(operands) - 1)
+    perm = out[-1]
+    res = batch.gather(perm, batch.num_rows)
+    if limit is not None:
+        cap = min(limit, n)
+        res = RecordBatch(
+            {name: c.with_data(c.data[:cap],
+                               c.validity[:cap] if c.validity is not None else None)
+             for name, c in res.columns.items()},
+            jnp.minimum(res.num_rows, limit)
+            if not isinstance(res.num_rows, int) else min(res.num_rows, limit),
+        )
+    return res
+
+
+def limit_batch(batch: RecordBatch, limit: int) -> RecordBatch:
+    cap = min(limit, batch.capacity())
+    cols = {
+        name: c.with_data(c.data[:cap],
+                          c.validity[:cap] if c.validity is not None else None)
+        for name, c in batch.columns.items()
+    }
+    nr = batch.num_rows
+    nr = min(nr, limit) if isinstance(nr, int) else jnp.minimum(nr, limit)
+    return RecordBatch(cols, nr)

@@ -1,0 +1,19 @@
+"""Test config: run on CPU with 8 virtual devices so operator tests are fast
+and sharding tests work without N real chips (mirrors the reference's
+in-process DistributedQueryRunner — testing/trino-testing/.../
+DistributedQueryRunner.java:99).
+
+The environment force-registers a remote-TPU ("axon") backend via
+sitecustomize, overriding JAX_PLATFORMS, so we must override back after
+import but before any array is created.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

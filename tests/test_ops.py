@@ -1,0 +1,187 @@
+"""Operator unit tests with hand-built batches — the analog of the
+reference's TestHashJoinOperator / TestHashAggregationOperator / TestGroupByHash
+(core/trino-main/src/test/java/io/trino/operator/)."""
+
+import numpy as np
+import pytest
+
+from presto1_tpu import BIGINT, DOUBLE, VARCHAR, DecimalType
+from presto1_tpu.batch import from_numpy
+from presto1_tpu.expr import lit, col, call
+from presto1_tpu.expr.eval import bind_string_ops, eval_expr
+from presto1_tpu.ops import (
+    AggSpec, SortKey, filter_batch, global_aggregate, group_aggregate,
+    hash_join, sort_batch,
+)
+from presto1_tpu.ops.common import key_ranges
+from presto1_tpu.ops.filter import filter_mask
+from presto1_tpu.types import DATE
+
+
+def make_batch(**arrays):
+    types = {}
+    np_arrays = {}
+    for name, arr in arrays.items():
+        arr = np.asarray(arr)
+        if arr.dtype.kind in ("U", "O"):
+            types[name] = VARCHAR
+        elif arr.dtype.kind == "f":
+            types[name] = DOUBLE
+        else:
+            types[name] = BIGINT
+        np_arrays[name] = arr
+    return from_numpy(np_arrays, types)
+
+
+def test_filter_and_project():
+    b = make_batch(x=[1, 2, 3, 4, 5], y=[10.0, 20.0, 30.0, 40.0, 50.0])
+    pred = call(">", col("x", BIGINT), lit(2))
+    out = filter_batch(pred, b)
+    assert int(out.num_rows) == 3
+    assert list(out["x"].decode(3)) == [3, 4, 5]
+
+
+def test_string_predicate_lut():
+    b = make_batch(s=["apple", "banana", "cherry", "apricot"])
+    pred = call("like", col("s", VARCHAR), lit("ap%", VARCHAR))
+    dicts = {"s": b["s"].dictionary}
+    bound = bind_string_ops(pred, dicts)
+    out = filter_batch(bound, b)
+    assert sorted(out["s"].decode(int(out.num_rows))) == ["apple", "apricot"]
+
+
+def test_group_aggregate_basic():
+    b = make_batch(k=[1, 2, 1, 2, 3], v=[10, 20, 30, 40, 50])
+    keys = [("k", b["k"])]
+    aggs = [
+        AggSpec("sum", b["v"], "s"),
+        AggSpec("count_star", None, "c"),
+        AggSpec("min", b["v"], "mn"),
+        AggSpec("max", b["v"], "mx"),
+    ]
+    ranges = key_ranges([b["k"]], b.num_rows)
+    out = group_aggregate(keys, aggs, b.num_rows, ranges, max_groups=8)
+    n = int(out.num_rows)
+    assert n == 3
+    rows = sorted(zip(out["k"].decode(n), out["s"].decode(n),
+                      out["c"].decode(n), out["mn"].decode(n), out["mx"].decode(n)))
+    assert rows == [(1, 40, 2, 10, 30), (2, 60, 2, 20, 40), (3, 50, 1, 50, 50)]
+
+
+def test_group_aggregate_masked_and_avg():
+    b = make_batch(k=[1, 1, 2, 2], v=[1.0, 3.0, 5.0, 100.0])
+    import jax.numpy as jnp
+
+    mask = jnp.asarray([True, True, True, False])
+    ranges = key_ranges([b["k"]], b.num_rows)
+    out = group_aggregate([("k", b["k"])], [AggSpec("avg", b["v"], "a")],
+                          b.num_rows, ranges, max_groups=8, mask=mask)
+    n = int(out.num_rows)
+    rows = dict(zip(out["k"].decode(n), out["a"].decode(n)))
+    assert rows[1] == pytest.approx(2.0)
+    assert rows[2] == pytest.approx(5.0)
+
+
+def test_global_aggregate_empty():
+    b = make_batch(v=[1, 2, 3])
+    import jax.numpy as jnp
+
+    out = global_aggregate(
+        [AggSpec("sum", b["v"], "s"), AggSpec("count_star", None, "c")],
+        num_rows=0, capacity=b.capacity())
+    assert out["c"].decode(1)[0] == 0
+    assert out["s"].decode(1)[0] is None  # SUM of empty = NULL
+
+
+def test_decimal_exact_sum():
+    t = DecimalType(12, 2)
+    b = from_numpy({"v": np.array([101, 202, 307])}, {"v": t})  # 1.01+2.02+3.07
+    out = global_aggregate([AggSpec("sum", b["v"], "s")], b.num_rows, b.capacity())
+    assert out["s"].decode(1)[0] == pytest.approx(6.10)
+
+
+def test_inner_join_one_to_many():
+    probe = make_batch(pk=[1, 2, 3, 2], pv=[10, 20, 30, 21])
+    build = make_batch(bk=[2, 2, 3], bv=[100, 200, 300])
+    ranges = key_ranges([probe["pk"], build["bk"]], 4)
+    lo = min(r[0] for r in ranges)
+    hi = max(r[1] for r in ranges)
+    out = hash_join(probe, build, ["pk"], ["bk"], "inner",
+                    [(lo, hi)], capacity=16)
+    n = int(out.num_rows)
+    assert n == 5  # rows 2,4 match twice; row 3 once
+    pairs = sorted(zip(out["pv"].decode(n), out["bv"].decode(n)))
+    assert pairs == [(20, 100), (20, 200), (21, 100), (21, 200), (30, 300)]
+
+
+def test_left_join_nulls():
+    probe = make_batch(pk=[1, 2], pv=[10, 20])
+    build = make_batch(bk=[2], bv=[200])
+    out = hash_join(probe, build, ["pk"], ["bk"], "left", [(1, 2)], capacity=8)
+    n = int(out.num_rows)
+    assert n == 2
+    rows = sorted(zip(out["pv"].decode(n), out["bv"].decode(n)),
+                  key=lambda r: r[0])
+    assert rows[0] == (10, None)
+    assert rows[1] == (20, 200)
+
+
+def test_semi_anti_join():
+    probe = make_batch(pk=[1, 2, 3], pv=[10, 20, 30])
+    build = make_batch(bk=[2, 2])
+    semi = hash_join(probe, build, ["pk"], ["bk"], "semi", [(1, 3)], capacity=8)
+    anti = hash_join(probe, build, ["pk"], ["bk"], "anti", [(1, 3)], capacity=8)
+    assert list(semi["pv"].decode(int(semi.num_rows))) == [20]
+    assert sorted(anti["pv"].decode(int(anti.num_rows))) == [10, 30]
+
+
+def test_anti_join_with_residual():
+    # NOT EXISTS (... key match AND other <> x) shape, as in TPC-H Q21
+    probe = make_batch(pk=[1, 1, 2], ps=[7, 8, 9])
+    build = make_batch(bk=[1, 1, 2], bs=[7, 7, 9])
+    res = call("<>", col("bs", BIGINT), col("ps", BIGINT))
+    out = hash_join(probe, build, ["pk"], ["bk"], "anti", [(1, 2)],
+                    capacity=16, residual=res)
+    n = int(out.num_rows)
+    # probe (1,7): build (1,7)x2 fail residual -> anti keeps
+    # probe (1,8): build (1,7) passes -> dropped; probe (2,9): (2,9) fails -> kept
+    assert sorted(zip(out["pk"].decode(n), out["ps"].decode(n))) == [(1, 7), (2, 9)]
+
+
+def test_sort_desc_and_limit():
+    b = make_batch(x=[3, 1, 2, 5, 4], y=[1.0, 2.0, 3.0, 4.0, 5.0])
+    out = sort_batch(b, [SortKey(b["x"], ascending=False)], limit=3)
+    assert list(out["x"].decode(3)) == [5, 4, 3]
+
+
+def test_sort_multi_key_with_nulls():
+    import jax.numpy as jnp
+
+    b = make_batch(x=[1, 1, 2, 2], y=[5.0, 3.0, 8.0, 1.0])
+    c = b["y"]
+    c.validity = jnp.asarray([True, False, True, True])
+    out = sort_batch(b, [SortKey(b["x"]), SortKey(c)])
+    ys = list(out["y"].decode(4))
+    xs = list(out["x"].decode(4))
+    assert xs == [1, 1, 2, 2]
+    assert ys[0] == 5.0 and ys[1] is None  # nulls last within x=1
+    assert ys[2:] == [1.0, 8.0]
+
+
+def test_case_and_3vl():
+    b = make_batch(x=[1, 2, 3])
+    e = call("case",
+             call("=", col("x", BIGINT), lit(2)), lit(100),
+             lit(0))
+    out = eval_expr(e, b)
+    assert list(out.decode(3)) == [0, 100, 0]
+
+
+def test_extract_year():
+    days = (np.array(["1992-01-01", "1998-12-31", "1995-06-17"],
+                     dtype="datetime64[D]")
+            - np.datetime64("1970-01-01", "D")).astype(np.int32)
+    b = from_numpy({"d": days}, {"d": DATE})
+    e = call("extract_year", col("d", DATE))
+    out = eval_expr(e, b)
+    assert list(out.decode(3)) == [1992, 1998, 1995]
