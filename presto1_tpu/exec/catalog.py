@@ -1,0 +1,112 @@
+"""Catalog abstraction: named tables that materialise columns lazily.
+
+The TPU analog of the reference's connector SPI
+(``spi/connector/ConnectorMetadata`` + ``ConnectorPageSource``): a Table
+reports its schema and row count, and loads only the columns a query
+references (the LazyBlock idea — ``spi/block/LazyBlock.java:431`` — moved
+up to the scan).  Loaded columns are cached as device arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..batch import Column, RecordBatch, encode_dictionary
+from ..types import SqlType
+
+
+class Table:
+    def __init__(self, name: str, schema: List[Tuple[str, SqlType]]):
+        self.name = name
+        self.schema = dict(schema)
+        self.column_order = [c for c, _ in schema]
+        self._cache: Dict[str, Column] = {}
+        self._ranges: Dict[str, Tuple[int, int]] = {}
+
+    @property
+    def num_rows(self) -> int:
+        raise NotImplementedError
+
+    def _load(self, column: str) -> Column:
+        raise NotImplementedError
+
+    def column(self, name: str) -> Column:
+        if name not in self._cache:
+            self._cache[name] = self._load(name)
+        return self._cache[name]
+
+    def batch(self, columns: Optional[List[str]] = None) -> RecordBatch:
+        cols = columns if columns is not None else self.column_order
+        return RecordBatch({c: self.column(c) for c in cols}, self.num_rows)
+
+    def column_range(self, name: str) -> Tuple[int, int]:
+        """Exact (min, max) of an integer-backed column (cached)."""
+        if name not in self._ranges:
+            c = self.column(name)
+            data = c.data.astype(jnp.int64)
+            self._ranges[name] = (int(jnp.min(data)), int(jnp.max(data)))
+        return self._ranges[name]
+
+
+class Catalog:
+    def __init__(self):
+        self.tables: Dict[str, Table] = {}
+
+    def table(self, name: str) -> Table:
+        return self.tables[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.tables
+
+
+class TpchTable(Table):
+    def __init__(self, name: str, gen):
+        from ..tpch.schema import TABLES
+
+        super().__init__(name, TABLES[name])
+        self.gen = gen
+        self._num_rows: Optional[int] = None
+
+    @property
+    def num_rows(self) -> int:
+        if self._num_rows is None:
+            self._num_rows = self.gen.num_rows(self.name)
+        return self._num_rows
+
+    def _load(self, column: str) -> Column:
+        from ..tpch.schema import ENUM_VOCABS
+
+        t = self.schema[column]
+        values = self.gen.column(self.name, column)
+        if t.is_string:
+            vocab = ENUM_VOCABS.get((self.name, column))
+            if vocab is not None:
+                dictionary = np.array(vocab)
+                codes = np.searchsorted(
+                    dictionary, np.asarray(values, dtype=dictionary.dtype)
+                ).astype(np.int32)
+            else:
+                dictionary, codes = encode_dictionary(
+                    np.asarray(values, dtype="U"))
+            return Column(jnp.asarray(codes), t, dictionary=dictionary)
+        return Column(jnp.asarray(values.astype(t.np_dtype, copy=False)), t)
+
+
+class TpchCatalog(Catalog):
+    """Schema name -> scale factor, as the reference's TpchMetadata:97."""
+
+    SCHEMAS = {"tiny": 0.01, "sf1": 1.0, "sf10": 10.0, "sf100": 100.0}
+
+    def __init__(self, schema: str = "tiny", sf: Optional[float] = None):
+        from ..tpch.dbgen import TpchGenerator
+        from ..tpch.schema import TABLES
+
+        super().__init__()
+        self.sf = sf if sf is not None else self.SCHEMAS[schema]
+        gen = TpchGenerator(self.sf)
+        self.gen = gen
+        for name in TABLES:
+            self.tables[name] = TpchTable(name, gen)
