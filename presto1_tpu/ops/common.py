@@ -42,36 +42,34 @@ def key_ranges(cols: Sequence[Column], num_rows) -> List[Tuple[int, int]]:
     return out
 
 
-def pack_keys(
+def pack_key_words(
     cols: Sequence[Column],
     ranges: Sequence[Tuple[int, int]],
     num_rows,
     mask: Optional[jnp.ndarray] = None,
     null_high: bool = False,
-) -> jnp.ndarray:
-    """Bit-pack key columns into one int64 word.
+) -> List[jnp.ndarray]:
+    """Bit-pack key columns into as few int64 words as needed.
 
     Each column is normalised to ``value - min + 1`` (0 is reserved for
     NULL, or the per-column top code when ``null_high``), then packed
-    little-endian by shifts.  Rows beyond ``num_rows`` or excluded by
-    ``mask`` get the global sentinel INT64_MAX so they sort to the end.
-
-    Raises if the composite key exceeds 63 bits (TPC-H's widest composite —
-    partsupp's (partkey, suppkey) — fits at every published scale factor).
+    little-endian by shifts, opening a new word when 63 bits fill up.
+    Rows beyond ``num_rows`` or excluded by ``mask`` get the global
+    sentinel INT64_MAX in every word so they sort to the end.
     """
     widths = []
     for (lo, hi) in ranges:
         span = hi - lo + 2  # +1 for null slot, +1 so max value < 2**w
-        widths.append(max(int(span).bit_length(), 1))
-    total = sum(widths)
-    if total > 63:
-        raise NotImplementedError(
-            f"composite key needs {total} bits; multi-word packing TBD"
-        )
+        widths.append(max(min(int(span).bit_length(), 63), 1))
     n = len(cols[0])
+    words: List[jnp.ndarray] = []
     word = jnp.zeros((n,), dtype=jnp.int64)
     shift = 0
     for c, (lo, hi), w in zip(cols, ranges, widths):
+        if shift + w > 63:
+            words.append(word)
+            word = jnp.zeros((n,), dtype=jnp.int64)
+            shift = 0
         v = c.data.astype(jnp.int64) - lo + 1
         v = jnp.clip(v, 0, (1 << w) - 1)
         if c.validity is not None:
@@ -79,11 +77,29 @@ def pack_keys(
             v = jnp.where(c.validity, v, nullcode)
         word = word | (v << shift)
         shift += w
+    words.append(word)
     idx = jnp.arange(n)
     dead = idx >= num_rows
     if mask is not None:
         dead = dead | ~mask
-    return jnp.where(dead, INT64_MAX, word)
+    return [jnp.where(dead, INT64_MAX, wd) for wd in words]
+
+
+def pack_keys(
+    cols: Sequence[Column],
+    ranges: Sequence[Tuple[int, int]],
+    num_rows,
+    mask: Optional[jnp.ndarray] = None,
+    null_high: bool = False,
+) -> jnp.ndarray:
+    """Single-word packing (joins); raises if the key exceeds 63 bits.
+    TPC-H's widest join composite — partsupp's (partkey, suppkey) — fits
+    at every published scale factor."""
+    words = pack_key_words(cols, ranges, num_rows, mask, null_high)
+    if len(words) != 1:
+        raise NotImplementedError(
+            "join key exceeds 63 bits; multi-word join keys TBD")
+    return words[0]
 
 
 def iota(n: int) -> jnp.ndarray:

@@ -29,7 +29,7 @@ import numpy as np
 
 from ..batch import Column, RecordBatch
 from ..types import BIGINT, DOUBLE, DecimalType, SqlType
-from .common import INT64_MAX, iota, pack_keys
+from .common import INT64_MAX, iota, pack_key_words
 
 
 @dataclass
@@ -54,13 +54,16 @@ class AggSpec:
         return t  # min/max
 
 
-def _group_structure(key_word: jnp.ndarray, max_groups: int):
-    """Sort the packed key word; derive per-row group ids and segment info."""
-    n = key_word.shape[0]
-    sorted_word, order = jax.lax.sort((key_word, iota(n)), num_keys=1)
-    prev = jnp.concatenate([jnp.full((1,), -1, dtype=jnp.int64), sorted_word[:-1]])
-    boundary = sorted_word != prev
-    real = sorted_word != INT64_MAX
+def _group_structure(key_words, max_groups: int):
+    """Sort the packed key word(s); derive per-row group ids and segments."""
+    n = key_words[0].shape[0]
+    out = jax.lax.sort(tuple(key_words) + (iota(n),), num_keys=len(key_words))
+    sorted_words, order = out[:-1], out[-1]
+    boundary = jnp.zeros((n,), dtype=bool).at[0].set(True)
+    for w in sorted_words:
+        prev = jnp.concatenate([jnp.full((1,), -1, dtype=jnp.int64), w[:-1]])
+        boundary = boundary | (w != prev)
+    real = sorted_words[0] != INT64_MAX
     gid_raw = jnp.cumsum(boundary) - 1
     num_groups = jnp.sum(boundary & real)
     gid_sorted = jnp.where(real, gid_raw, max_groups)
@@ -147,17 +150,24 @@ def group_aggregate(
     ranges: Sequence[Tuple[int, int]],
     max_groups: int,
     mask: Optional[jnp.ndarray] = None,
+    carry: Sequence[Tuple[str, Column]] = (),
 ) -> RecordBatch:
-    """Grouped aggregation.  ``mask`` fuses an upstream filter for free."""
+    """Grouped aggregation.  ``mask`` fuses an upstream filter for free.
+
+    ``carry`` columns are functionally dependent on the keys (the optimizer
+    proves this via PK/FK analysis): they are not packed or compared, just
+    materialised from each group's representative row — the reason Q10-style
+    "group by pk, name, address, …" queries cost no more than "group by pk".
+    """
     key_cols = [c for _, c in keys]
-    word = pack_keys(key_cols, ranges, num_rows, mask=mask)
-    order, gid_sorted, num_groups, repr_idx = _group_structure(word, max_groups)
+    words = pack_key_words(key_cols, ranges, num_rows, mask=mask)
+    order, gid_sorted, num_groups, repr_idx = _group_structure(words, max_groups)
     live_sorted = gid_sorted < max_groups
 
     out = {}
-    safe_repr = jnp.clip(repr_idx, 0, word.shape[0] - 1)
+    safe_repr = jnp.clip(repr_idx, 0, words[0].shape[0] - 1)
     group_live = iota(max_groups) < num_groups
-    for name, c in keys:
+    for name, c in list(keys) + list(carry):
         out[name] = c.gather(safe_repr, valid=None)
         # key columns of dead slots are garbage but num_rows masks them
     for spec in aggs:

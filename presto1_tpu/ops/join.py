@@ -76,6 +76,7 @@ def hash_join(
     ranges: Sequence[Tuple[int, int]],
     capacity: int,
     residual: Optional[Expr] = None,
+    stats: Optional[dict] = None,
 ) -> RecordBatch:
     lo, counts, bperm, live = _probe_ranges(probe, build, probe_keys, build_keys, ranges)
     np_ = probe.capacity()
@@ -90,6 +91,8 @@ def hash_join(
         # expand all candidate pairs, apply residual, reduce per probe row
         pairs, pidx, matched, out_live = _expand(
             probe, build, lo, counts, counts, bperm, capacity)
+        if stats is not None:
+            stats["pairs_total"] = pairs.num_rows
         rm = eval_predicate(residual, pairs) & matched & out_live
         hits = jax.ops.segment_sum(
             rm.astype(jnp.int32), pidx, num_segments=np_)

@@ -1,0 +1,212 @@
+"""SQL abstract syntax tree.
+
+The compact analog of the reference's 187-class AST
+(``core/trino-parser/src/main/java/io/trino/sql/tree/``), covering the
+query subset the engine executes (full TPC-H plus general
+SELECT/JOIN/GROUP/ORDER/WITH).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+class Node:
+    pass
+
+
+# ---------------------------------------------------------------- queries
+
+
+@dataclass
+class Query(Node):
+    ctes: List[Tuple[str, "Query"]]
+    select: "Select"
+
+
+@dataclass
+class Select(Node):
+    items: List["SelectItem"]
+    from_: Optional["FromItem"]
+    where: Optional["Expr"] = None
+    group_by: List["Expr"] = field(default_factory=list)
+    having: Optional["Expr"] = None
+    order_by: List["OrderItem"] = field(default_factory=list)
+    limit: Optional[int] = None
+    distinct: bool = False
+
+
+@dataclass
+class SelectItem(Node):
+    expr: Optional["Expr"]  # None = star
+    alias: Optional[str] = None
+    star_qualifier: Optional[str] = None  # for t.* / *
+
+
+@dataclass
+class OrderItem(Node):
+    expr: "Expr"
+    ascending: bool = True
+    nulls_first: Optional[bool] = None
+
+
+# ---------------------------------------------------------------- from
+
+
+class FromItem(Node):
+    pass
+
+
+@dataclass
+class TableRef(FromItem):
+    name: str
+    alias: Optional[str] = None
+
+
+@dataclass
+class SubqueryRef(FromItem):
+    query: Query
+    alias: str
+
+
+@dataclass
+class JoinItem(FromItem):
+    left: FromItem
+    right: FromItem
+    kind: str  # 'inner' | 'left' | 'right' | 'full' | 'cross'
+    on: Optional["Expr"] = None
+
+
+# ---------------------------------------------------------------- exprs
+
+
+class Expr(Node):
+    pass
+
+
+@dataclass
+class Identifier(Expr):
+    parts: List[str]  # [col] or [qualifier, col]
+
+    @property
+    def name(self):
+        return self.parts[-1]
+
+    @property
+    def qualifier(self):
+        return self.parts[0] if len(self.parts) > 1 else None
+
+
+@dataclass
+class NumberLit(Expr):
+    text: str  # keep literal text to preserve decimal scale
+
+
+@dataclass
+class StringLit(Expr):
+    value: str
+
+
+@dataclass
+class DateLit(Expr):
+    value: str  # 'YYYY-MM-DD'
+
+
+@dataclass
+class IntervalLit(Expr):
+    value: int
+    unit: str  # 'day' | 'month' | 'year'
+
+
+@dataclass
+class BinaryOp(Expr):
+    op: str
+    left: Expr
+    right: Expr
+
+
+@dataclass
+class UnaryOp(Expr):
+    op: str  # '-' | 'not'
+    operand: Expr
+
+
+@dataclass
+class FuncCall(Expr):
+    name: str
+    args: List[Expr]
+    distinct: bool = False
+    is_star: bool = False  # count(*)
+
+
+@dataclass
+class Case(Expr):
+    whens: List[Tuple[Expr, Expr]]
+    else_: Optional[Expr] = None
+    operand: Optional[Expr] = None  # CASE x WHEN v THEN ...
+
+
+@dataclass
+class Cast(Expr):
+    expr: Expr
+    type_name: str
+
+
+@dataclass
+class Between(Expr):
+    expr: Expr
+    low: Expr
+    high: Expr
+    negated: bool = False
+
+
+@dataclass
+class InList(Expr):
+    expr: Expr
+    items: List[Expr]
+    negated: bool = False
+
+
+@dataclass
+class InSubquery(Expr):
+    expr: Expr
+    query: Query
+    negated: bool = False
+
+
+@dataclass
+class Exists(Expr):
+    query: Query
+    negated: bool = False
+
+
+@dataclass
+class ScalarSubquery(Expr):
+    query: Query
+
+
+@dataclass
+class Like(Expr):
+    expr: Expr
+    pattern: Expr
+    negated: bool = False
+
+
+@dataclass
+class IsNull(Expr):
+    expr: Expr
+    negated: bool = False
+
+
+@dataclass
+class Extract(Expr):
+    field: str  # 'year' | 'month'
+    expr: Expr
+
+
+@dataclass
+class Substring(Expr):
+    expr: Expr
+    start: Expr
+    length: Optional[Expr] = None

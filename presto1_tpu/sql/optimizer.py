@@ -1,0 +1,507 @@
+"""Logical-plan optimizer.
+
+A small, deterministic pass pipeline standing in for the reference's
+179-rule IterativeOptimizer + visitor passes (``sql/planner/iterative/``,
+``optimizations/PredicatePushDown``, ``iterative/rule/ReorderJoins``):
+
+1. equi-extraction   — pull `a = b` cross-side conjuncts out of join
+                       conditions into explicit equi key pairs
+2. predicate pushdown — move filters to the lowest node that can evaluate
+                       them (through projections by inlining)
+3. join reordering   — flatten inner/cross clusters and greedily rebuild
+                       smallest-cardinality-first along equi edges
+                       (DetermineJoinDistributionType/ReorderJoins analog,
+                       driven by catalog row counts)
+4. distinct-agg rewrite — count(distinct x) → two-level aggregation
+5. column pruning    — scans materialise only referenced columns
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set, Tuple
+
+from ..expr import ir
+from .logical import (
+    AggCall, Aggregate, Filter, Join, Limit, LogicalNode, Output, Project,
+    Scan, Sort,
+)
+from .planner import ir_conjoin
+
+# TPC-H primary keys (for build-side uniqueness hints; the reference gets
+# this from connector metadata/stats — TpchMetadata + statistics/)
+TABLE_UNIQUE_KEYS = {
+    "region": [("r_regionkey",)],
+    "nation": [("n_nationkey",)],
+    "supplier": [("s_suppkey",)],
+    "customer": [("c_custkey",)],
+    "part": [("p_partkey",)],
+    "partsupp": [("ps_partkey", "ps_suppkey")],
+    "orders": [("o_orderkey",)],
+}
+
+
+def optimize(plan: LogicalNode, catalog) -> LogicalNode:
+    plan = _extract_equis(plan)
+    plan = _pushdown(plan, [])
+    plan = _reorder(plan, catalog)
+    plan = _rewrite_distinct(plan)
+    plan = _reduce_group_keys(plan)
+    plan = _prune(plan, set(_needed_at_top(plan)))
+    return plan
+
+
+def _needed_at_top(plan):
+    if isinstance(plan, Output):
+        return [s for _, s in plan.names]
+    return list(plan.schema.keys())
+
+
+# ------------------------------------------------------------ equi extract
+
+
+def _refs(e: ir.Expr) -> Set[str]:
+    return ir.referenced_columns(e)
+
+
+def _split_ir_conjuncts(e: Optional[ir.Expr]) -> List[ir.Expr]:
+    if e is None:
+        return []
+    if isinstance(e, ir.Call) and e.fn == "and":
+        return _split_ir_conjuncts(e.args[0]) + _split_ir_conjuncts(e.args[1])
+    return [e]
+
+
+def _extract_equis(node: LogicalNode) -> LogicalNode:
+    node = node.with_children([_extract_equis(c) for c in node.children])
+    if not isinstance(node, Join) or node.residual is None:
+        return node
+    ls, rs = node.left.schema, node.right.schema
+    equis = list(node.equis)
+    keep: List[ir.Expr] = []
+    right_only: List[ir.Expr] = []
+    for c in _split_ir_conjuncts(node.residual):
+        r = _refs(c)
+        if (isinstance(c, ir.Call) and c.fn == "=" and len(c.args) == 2
+                and not (r <= set(ls)) and not (r <= set(rs))):
+            a, b = c.args
+            ra, rb = _refs(a), _refs(b)
+            if ra <= set(ls) and rb <= set(rs):
+                equis.append((a, b))
+                continue
+            if rb <= set(ls) and ra <= set(rs):
+                equis.append((b, a))
+                continue
+        if r <= set(rs):
+            right_only.append(c)
+            continue
+        if r <= set(ls) and node.kind in ("inner", "cross"):
+            keep.append(c)  # handled by pushdown later
+            continue
+        keep.append(c)
+    right = node.right
+    if right_only:
+        right = Filter(right, ir_conjoin(right_only))
+    kind = "inner" if node.kind == "cross" and equis else node.kind
+    return Join(node.left, right, kind, equis, ir_conjoin(keep),
+                node.build_unique)
+
+
+# ---------------------------------------------------------------- pushdown
+
+
+def _subst(e: ir.Expr, mapping: Dict[str, ir.Expr]) -> ir.Expr:
+    if isinstance(e, ir.ColumnRef):
+        return mapping.get(e.name, e)
+    if isinstance(e, ir.Call):
+        return ir.Call(e.fn, tuple(_subst(a, mapping) for a in e.args), e.type)
+    if isinstance(e, ir.DictLookup):
+        inner = mapping.get(e.column.name, e.column)
+        assert isinstance(inner, ir.ColumnRef)
+        return ir.DictLookup(inner, e.table, e.type, e.label, e.dictionary)
+    return e
+
+
+def _flatten_or(e: ir.Expr) -> List[ir.Expr]:
+    if isinstance(e, ir.Call) and e.fn == "or":
+        return _flatten_or(e.args[0]) + _flatten_or(e.args[1])
+    return [e]
+
+
+def _hoist(c: ir.Expr) -> List[ir.Expr]:
+    """(a∧x) ∨ (a∧y) → a ∧ (x∨y): lets the shared equi conjunct become a
+    join key (Q19's OR-of-blocks shape; the reference gets this from
+    ExtractCommonPredicatesExpressionRewrite)."""
+    branches = _flatten_or(c)
+    if len(branches) < 2:
+        return [c]
+    sets = [_split_ir_conjuncts(b) for b in branches]
+    common = set(sets[0])
+    for s in sets[1:]:
+        common &= set(s)
+    if not common:
+        return [c]
+    rests = [[x for x in s if x not in common] for s in sets]
+    out = list(common)
+    if all(rests):
+        ors = None
+        for r in rests:
+            conj = ir_conjoin(r)
+            ors = conj if ors is None else ir.call("or", ors, conj)
+        out.append(ors)
+    return out
+
+
+def _pushdown(node: LogicalNode, conjuncts: List[ir.Expr]) -> LogicalNode:
+    conjuncts = [h for c in conjuncts for h in _hoist(c)]
+    if isinstance(node, Filter):
+        return _pushdown(node.child, conjuncts + _split_ir_conjuncts(node.predicate))
+
+    if isinstance(node, Project):
+        mapping = dict(node.outputs)
+        pushable, keep = [], []
+        for c in conjuncts:
+            if _refs(c) <= set(mapping):
+                pushable.append(_subst(c, mapping))
+            else:
+                keep.append(c)
+        child = _pushdown(node.child, pushable)
+        out: LogicalNode = Project(child, node.outputs)
+        return _wrap(out, keep)
+
+    if isinstance(node, Join):
+        ls, rs = set(node.left.schema), set(node.right.schema)
+        to_left, to_right, keep = [], [], []
+        equis = list(node.equis)
+        kind = node.kind
+        for c in conjuncts:
+            r = _refs(c)
+            if r <= ls:
+                to_left.append(c)
+                continue
+            if r <= rs and kind in ("inner", "cross"):
+                to_right.append(c)
+                continue
+            # cross-side equi conjunct -> join key (turns cross into inner)
+            if (kind in ("inner", "cross") and isinstance(c, ir.Call)
+                    and c.fn == "=" and len(c.args) == 2):
+                a, b = c.args
+                ra, rb = _refs(a), _refs(b)
+                if ra <= ls and rb <= rs:
+                    equis.append((a, b))
+                    kind = "inner"
+                    continue
+                if rb <= ls and ra <= rs:
+                    equis.append((b, a))
+                    kind = "inner"
+                    continue
+            keep.append(c)
+        left = _pushdown(node.left, to_left)
+        right = _pushdown(node.right, to_right)
+        out = Join(left, right, kind, equis, node.residual,
+                   node.build_unique)
+        return _wrap(out, keep)
+
+    if isinstance(node, Aggregate):
+        gset = set(node.group)
+        pushable = [c for c in conjuncts if _refs(c) <= gset]
+        keep = [c for c in conjuncts if not (_refs(c) <= gset)]
+        child = _pushdown(node.child, pushable)
+        return _wrap(Aggregate(child, node.group, node.aggs), keep)
+
+    if isinstance(node, (Sort, Limit, Output)):
+        child = _pushdown(node.children[0], conjuncts)
+        return node.with_children([child])
+
+    # Scan and anything else: stop here
+    node = node.with_children([_pushdown(c, []) for c in node.children])
+    return _wrap(node, conjuncts)
+
+
+def _wrap(node: LogicalNode, conjuncts: List[ir.Expr]) -> LogicalNode:
+    if conjuncts:
+        return Filter(node, ir_conjoin(conjuncts))
+    return node
+
+
+# ---------------------------------------------------------------- reorder
+
+
+def _estimate(node: LogicalNode, catalog) -> float:
+    if isinstance(node, Scan):
+        return float(catalog.table(node.table).num_rows)
+    if isinstance(node, Filter):
+        return _estimate(node.child, catalog) * 0.25
+    if isinstance(node, Aggregate):
+        return max(_estimate(node.child, catalog) * 0.1, 1.0)
+    if isinstance(node, Join):
+        l = _estimate(node.left, catalog)
+        r = _estimate(node.right, catalog)
+        if node.kind in ("semi", "anti"):
+            return l * 0.5
+        return max(l, r)
+    if isinstance(node, (Project, Sort, Limit, Output)):
+        return _estimate(node.children[0], catalog)
+    return 1000.0
+
+
+def _unique_keysets(node: LogicalNode) -> Set[frozenset]:
+    """Sets of symbols known unique in this relation's output (PK hints)."""
+    if isinstance(node, Scan):
+        out = set()
+        for key in TABLE_UNIQUE_KEYS.get(node.table, []):
+            if all(c in node.symbols for c in key):
+                out.add(frozenset(node.symbols[c] for c in key))
+        return out
+    if isinstance(node, (Filter, Sort, Limit)):
+        return _unique_keysets(node.children[0])
+    if isinstance(node, Project):
+        child = _unique_keysets(node.child)
+        passthrough = {s for s, e in node.outputs if isinstance(e, ir.ColumnRef)}
+        return {k for k in child if k <= passthrough}
+    if isinstance(node, Aggregate):
+        return {frozenset(node.group)} if node.group else set()
+    if isinstance(node, Join):
+        if node.kind in ("semi", "anti"):
+            return _unique_keysets(node.left)
+        return set()
+    return set()
+
+
+def _reorder(node: LogicalNode, catalog) -> LogicalNode:
+    if isinstance(node, Join) and node.kind == "inner":
+        rels, edges, residuals = [], [], []
+        _flatten_inner(node, rels, edges, residuals, catalog)
+        if len(rels) > 2:
+            rels = [_reorder(r, catalog) for r in rels]
+            tree = _greedy_join(rels, edges, catalog)
+            tree = _orient_tree(tree, catalog)
+            return _wrap(tree, residuals)
+    return _orient(node.with_children(
+        [_reorder(c, catalog) for c in node.children]), catalog)
+
+
+def _orient_tree(node: LogicalNode, catalog) -> LogicalNode:
+    if isinstance(node, Join):
+        node = Join(_orient_tree(node.left, catalog),
+                    _orient_tree(node.right, catalog),
+                    node.kind, node.equis, node.residual, node.build_unique)
+        return _orient(node, catalog)
+    return node
+
+
+def _orient(node: LogicalNode, catalog) -> LogicalNode:
+    """Make the smaller side the build (right) side; mark unique builds."""
+    if not isinstance(node, Join):
+        return node
+    j = node
+    if j.kind == "inner" and j.equis:
+        if _estimate(j.left, catalog) < _estimate(j.right, catalog):
+            j = Join(j.right, j.left, "inner",
+                     [(b, a) for a, b in j.equis], j.residual, j.build_unique)
+    if j.kind in ("inner", "left", "semi", "anti") and j.equis:
+        uniq = _unique_keysets(j.right)
+        build_syms = frozenset(
+            b.name for _, b in j.equis if isinstance(b, ir.ColumnRef))
+        unique = any(k <= build_syms for k in uniq)
+        j = Join(j.left, j.right, j.kind, j.equis, j.residual,
+                 j.build_unique or unique)
+    return j
+
+
+def _flatten_inner(node: LogicalNode, rels, edges, residuals, catalog):
+    if isinstance(node, Join) and node.kind == "inner":
+        if node.residual is not None:
+            residuals.extend(_split_ir_conjuncts(node.residual))
+        _flatten_inner(node.left, rels, edges, residuals, catalog)
+        nleft = len(rels)
+        _flatten_inner(node.right, rels, edges, residuals, catalog)
+        for a, b in node.equis:
+            edges.append((a, b))
+    else:
+        rels.append(node)
+
+
+def _greedy_join(rels, edges, catalog) -> LogicalNode:
+    remaining = list(range(len(rels)))
+    est = [_estimate(r, catalog) for r in rels]
+    schemas = [set(r.schema) for r in rels]
+
+    def edge_between(in_set: Set[int], j: int):
+        out = []
+        for a, b in edges:
+            ra, rb = _refs(a), _refs(b)
+            in_schema = set().union(*(schemas[i] for i in in_set))
+            if ra <= in_schema and rb <= schemas[j]:
+                out.append((a, b))
+            elif rb <= in_schema and ra <= schemas[j]:
+                out.append((b, a))
+        return out
+
+    start = min(remaining, key=lambda i: est[i])
+    joined = {start}
+    remaining.remove(start)
+    tree = rels[start]
+    while remaining:
+        candidates = [(i, edge_between(joined, i)) for i in remaining]
+        connected = [(i, e) for i, e in candidates if e]
+        if connected:
+            i, eq = min(connected, key=lambda t: est[t[0]])
+        else:
+            i, eq = min(candidates, key=lambda t: est[t[0]])
+        kind = "inner" if eq else "cross"
+        tree = Join(tree, rels[i], kind, eq, None)
+        joined.add(i)
+        remaining.remove(i)
+    return tree
+
+
+# ------------------------------------------------ group-key FD reduction
+
+
+def _fds(node: LogicalNode) -> List[Tuple[frozenset, Set[str]]]:
+    """Functional dependencies (lhs symbols -> rhs symbols) provable from
+    primary keys and unique-build joins."""
+    if isinstance(node, Scan):
+        out = []
+        for key in TABLE_UNIQUE_KEYS.get(node.table, []):
+            if all(c in node.symbols for c in key):
+                out.append((frozenset(node.symbols[c] for c in key),
+                            set(node.symbols.values())))
+        return out
+    if isinstance(node, (Filter, Sort, Limit, Output)):
+        return _fds(node.children[0])
+    if isinstance(node, Project):
+        fds = list(_fds(node.child))
+        for s, e in node.outputs:
+            if not isinstance(e, ir.ColumnRef):
+                fds.append((frozenset(_refs(e)), {s}))
+        return fds
+    if isinstance(node, Aggregate):
+        return _fds(node.child) + [(frozenset(node.group),
+                                    set(node.schema.keys()))]
+    if isinstance(node, Join):
+        if node.kind in ("semi", "anti"):
+            return _fds(node.left)
+        fds = _fds(node.left) + _fds(node.right)
+        if node.build_unique and node.equis:
+            lhs = set()
+            ok = True
+            for a, _ in node.equis:
+                if isinstance(a, ir.ColumnRef):
+                    lhs.add(a.name)
+                else:
+                    ok = False
+            if ok:
+                fds.append((frozenset(lhs), set(node.right.schema.keys())))
+        return fds
+    return []
+
+
+def _closure(symbols: Set[str], fds) -> Set[str]:
+    out = set(symbols)
+    changed = True
+    while changed:
+        changed = False
+        for lhs, rhs in fds:
+            if lhs <= out and not (rhs <= out):
+                out |= rhs
+                changed = True
+    return out
+
+
+def _reduce_group_keys(node: LogicalNode) -> LogicalNode:
+    node = node.with_children([_reduce_group_keys(c) for c in node.children])
+    if not isinstance(node, Aggregate) or len(node.group) <= 1:
+        return node
+    fds = _fds(node.child)
+    primary = list(node.group)
+    for g in list(node.group):
+        if len(primary) == 1:
+            break
+        rest = [p for p in primary if p != g]
+        if g in _closure(set(rest), fds):
+            primary = rest
+    if len(primary) < len(node.group):
+        return Aggregate(node.child, node.group, node.aggs, primary)
+    return node
+
+
+# ------------------------------------------------------- distinct rewrite
+
+
+def _rewrite_distinct(node: LogicalNode) -> LogicalNode:
+    node = node.with_children([_rewrite_distinct(c) for c in node.children])
+    if not isinstance(node, Aggregate) or not any(a.distinct for a in node.aggs):
+        return node
+    if len(node.aggs) != 1:
+        raise NotImplementedError("mixed distinct aggregates")
+    a = node.aggs[0]
+    if a.fn != "count":
+        raise NotImplementedError(f"{a.fn}(distinct)")
+    child = node.child
+    if isinstance(a.arg, ir.ColumnRef):
+        arg_sym = a.arg.name
+    else:
+        arg_sym = f"{a.symbol}_arg"
+        passthrough = [(s, ir.ColumnRef(s, t)) for s, t in child.schema.items()]
+        child = Project(child, passthrough + [(arg_sym, a.arg)])
+    inner = Aggregate(child, node.group + [arg_sym], [])
+    arg_t = inner.schema[arg_sym]
+    outer = Aggregate(
+        inner, node.group,
+        [AggCall(a.symbol, "count", ir.ColumnRef(arg_sym, arg_t), False, a.type)])
+    return outer
+
+
+# ---------------------------------------------------------------- pruning
+
+
+def _prune(node: LogicalNode, needed: Set[str]) -> LogicalNode:
+    if isinstance(node, Output):
+        return Output(_prune(node.child, {s for _, s in node.names}), node.names)
+    if isinstance(node, Scan):
+        symbols = {c: s for c, s in node.symbols.items() if s in needed}
+        if not symbols:  # keep one column for row count
+            c, s = next(iter(node.symbols.items()))
+            symbols = {c: s}
+        schema = {s: node.schema[s] for s in symbols.values()}
+        return Scan(node.table, symbols, schema)
+    if isinstance(node, Filter):
+        return Filter(_prune(node.child, needed | _refs(node.predicate)),
+                      node.predicate)
+    if isinstance(node, Project):
+        outputs = [(s, e) for s, e in node.outputs if s in needed]
+        if not outputs:
+            outputs = node.outputs[:1]
+        child_needed = set()
+        for _, e in outputs:
+            child_needed |= _refs(e)
+        return Project(_prune(node.child, child_needed), outputs)
+    if isinstance(node, Aggregate):
+        aggs = [a for a in node.aggs if a.symbol in needed] or node.aggs[:1] \
+            if node.aggs else []
+        child_needed = set(node.group)
+        for a in aggs:
+            if a.arg is not None:
+                child_needed |= _refs(a.arg)
+        return Aggregate(_prune(node.child, child_needed), node.group, aggs)
+    if isinstance(node, Join):
+        child_needed = set(needed)
+        for a, b in node.equis:
+            child_needed |= _refs(a) | _refs(b)
+        if node.residual is not None:
+            child_needed |= _refs(node.residual)
+        left = _prune(node.left, child_needed & set(node.left.schema)
+                      | {s for s in child_needed if s in node.left.schema})
+        right = _prune(node.right, {s for s in child_needed
+                                    if s in node.right.schema})
+        return Join(left, right, node.kind, node.equis, node.residual,
+                    node.build_unique)
+    if isinstance(node, Sort):
+        child_needed = set(needed)
+        for e, _, _ in node.keys:
+            child_needed |= _refs(e)
+        return Sort(_prune(node.child, child_needed), node.keys, node.limit)
+    if isinstance(node, Limit):
+        return Limit(_prune(node.child, needed), node.n)
+    return node.with_children([_prune(c, needed) for c in node.children])

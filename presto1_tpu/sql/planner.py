@@ -1,0 +1,690 @@
+"""AST → logical plan: scoping, typing, aggregate extraction, and subquery
+decorrelation.
+
+Covers the reference's Analyzer + RelationPlanner/QueryPlanner
+(``sql/analyzer/StatementAnalyzer.java``, ``sql/planner/QueryPlanner.java``)
+in one pass: identifiers resolve through a scope chain (outer scopes mark
+correlation), EXISTS/IN subqueries become semi/anti joins, and correlated
+scalar-aggregate subqueries decorrelate into grouped aggregates joined on
+the correlation keys (the reference reaches the same shapes through its
+``TransformCorrelated*`` iterative rules).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from ..expr import ir
+from ..types import (
+    BIGINT, BOOLEAN, DATE, DOUBLE, DecimalType, INTEGER, SqlType, VARCHAR,
+)
+from . import ast
+from .logical import (
+    AggCall, Aggregate, Filter, Join, Limit, LogicalNode, Output, Project,
+    Scan, Sort,
+)
+
+EPOCH = np.datetime64("1970-01-01", "D")
+
+
+class PlanError(Exception):
+    pass
+
+
+@dataclass
+class FieldRef:
+    qualifier: Optional[str]
+    name: str
+    symbol: str
+    type: SqlType
+
+
+class Scope:
+    def __init__(self, fields: List[FieldRef], parent: Optional["Scope"] = None):
+        self.fields = fields
+        self.parent = parent
+
+    def resolve(self, qualifier: Optional[str], name: str):
+        """-> (FieldRef, depth) where depth>0 means an outer (correlated) ref."""
+        matches = [
+            f for f in self.fields
+            if f.name == name and (qualifier is None or f.qualifier == qualifier)
+        ]
+        if len(matches) == 1:
+            return matches[0], 0
+        if len(matches) > 1:
+            raise PlanError(f"ambiguous column {qualifier or ''}.{name}")
+        if self.parent is not None:
+            f, d = self.parent.resolve(qualifier, name)
+            return f, d + 1
+        raise PlanError(f"column not found: {(qualifier + '.') if qualifier else ''}{name}")
+
+
+class _TwoLevelScope(Scope):
+    """ORDER BY scope: select aliases shadow input-relation columns."""
+
+    def __init__(self, primary: Scope, secondary: Scope,
+                 parent: Optional[Scope] = None):
+        super().__init__(primary.fields, parent)
+        self.secondary = secondary
+
+    def resolve(self, qualifier, name):
+        try:
+            f, d = Scope(self.fields).resolve(qualifier, name)
+            return f, d
+        except PlanError:
+            pass
+        try:
+            return self.secondary.resolve(qualifier, name)
+        except PlanError:
+            if self.parent is not None:
+                f, d = self.parent.resolve(qualifier, name)
+                return f, d + 1
+            raise
+
+
+@dataclass
+class RelationPlan:
+    node: LogicalNode
+    scope: Scope
+
+
+def split_conjuncts(e: Optional[ast.Expr]) -> List[ast.Expr]:
+    if e is None:
+        return []
+    if isinstance(e, ast.BinaryOp) and e.op == "and":
+        return split_conjuncts(e.left) + split_conjuncts(e.right)
+    return [e]
+
+
+def ir_conjoin(parts: List[ir.Expr]) -> Optional[ir.Expr]:
+    out = None
+    for p in parts:
+        out = p if out is None else ir.call("and", out, p)
+    return out
+
+
+def _days(iso: str) -> int:
+    return int((np.datetime64(iso, "D") - EPOCH) / np.timedelta64(1, "D"))
+
+
+def parse_type(name: str) -> SqlType:
+    n = name.strip().lower()
+    if n.startswith("decimal"):
+        inner = n[n.find("(") + 1:n.find(")")] if "(" in n else "12,2"
+        p, s = (inner.split(",") + ["0"])[:2]
+        return DecimalType(int(p.strip()), int(s.strip()))
+    if n.startswith("double"):
+        return DOUBLE
+    if n.startswith("bigint"):
+        return BIGINT
+    if n.startswith(("integer", "int")):
+        return INTEGER
+    if n.startswith("date"):
+        return DATE
+    if n.startswith(("varchar", "char")):
+        return VARCHAR
+    if n.startswith("boolean"):
+        return BOOLEAN
+    raise PlanError(f"unknown type {name}")
+
+
+AGG_FNS = {"sum", "avg", "min", "max", "count"}
+
+
+def agg_output_type(fn: str, arg_type: Optional[SqlType]) -> SqlType:
+    if fn in ("count", "count_star"):
+        return BIGINT
+    if fn == "avg":
+        return DOUBLE
+    if fn == "sum":
+        if arg_type.kind == "decimal":
+            s = arg_type.scale  # type: ignore[attr-defined]
+            return DecimalType(38, s) if s <= 4 else DOUBLE
+        if arg_type.kind == "integer":
+            return BIGINT
+        return arg_type
+    return arg_type
+
+
+class Planner:
+    def __init__(self, catalog):
+        self.catalog = catalog
+        self._counter = 0
+
+    def symbol(self, base: str) -> str:
+        self._counter += 1
+        return f"{base}#{self._counter}"
+
+    # ------------------------------------------------------------- entry
+
+    def plan(self, query: ast.Query) -> LogicalNode:
+        rel = self.plan_query(query, outer=None, ctes={})
+        names = [(f.name, f.symbol) for f in rel.scope.fields]
+        return Output(rel.node, names)
+
+    def plan_query(self, query: ast.Query, outer: Optional[Scope],
+                   ctes: Dict[str, ast.Query],
+                   corr_sink: Optional[List[ir.Expr]] = None) -> RelationPlan:
+        local_ctes = dict(ctes)
+        for name, q in query.ctes:
+            local_ctes[name] = q
+        return self.plan_select(query.select, outer, local_ctes, corr_sink)
+
+    # ------------------------------------------------------------- FROM
+
+    def plan_from(self, item: Optional[ast.FromItem], outer: Optional[Scope],
+                  ctes) -> RelationPlan:
+        if item is None:
+            raise PlanError("SELECT without FROM is not supported")
+        if isinstance(item, ast.TableRef):
+            qualifier = item.alias or item.name
+            if item.name in ctes:
+                sub = self.plan_query(ctes[item.name], None, ctes)
+                fields = [FieldRef(qualifier, f.name, f.symbol, f.type)
+                          for f in sub.scope.fields]
+                return RelationPlan(sub.node, Scope(fields, outer))
+            if item.name not in self.catalog:
+                raise PlanError(f"table not found: {item.name}")
+            table = self.catalog.table(item.name)
+            symbols, fields, schema = {}, [], {}
+            for col, t in table.schema.items():
+                s = self.symbol(col)
+                symbols[col] = s
+                schema[s] = t
+                fields.append(FieldRef(qualifier, col, s, t))
+            return RelationPlan(Scan(item.name, symbols, schema),
+                                Scope(fields, outer))
+        if isinstance(item, ast.SubqueryRef):
+            sub = self.plan_query(item.query, None, ctes)
+            fields = [FieldRef(item.alias, f.name, f.symbol, f.type)
+                      for f in sub.scope.fields]
+            return RelationPlan(sub.node, Scope(fields, outer))
+        if isinstance(item, ast.JoinItem):
+            left = self.plan_from(item.left, outer, ctes)
+            right = self.plan_from(item.right, outer, ctes)
+            kind = item.kind
+            if kind == "right":
+                left, right = right, left
+                kind = "left"
+            merged = Scope(left.scope.fields + right.scope.fields, outer)
+            if kind == "cross":
+                node = Join(left.node, right.node, "cross", [], None)
+                return RelationPlan(node, merged)
+            conv = ExprConverter(merged, self)
+            cond = conv.convert(item.on) if item.on is not None else None
+            if conv.used_outer:
+                raise PlanError("correlated join condition not supported")
+            node = Join(left.node, right.node, kind, [], cond)
+            return RelationPlan(node, merged)
+        raise PlanError(f"unsupported FROM item {item}")
+
+    # ------------------------------------------------------------- SELECT
+
+    def plan_select(self, sel: ast.Select, outer, ctes,
+                    corr_sink=None) -> RelationPlan:
+        rel = self.plan_from(sel.from_, outer, ctes)
+        scope = rel.scope
+        node = rel.node
+
+        # WHERE (subquery conjuncts become joins; correlated equi conjuncts
+        # are set aside into corr_sink for the caller to turn into a join)
+        corr_conjuncts: List[ir.Expr] = []
+        node = self._plan_predicate(
+            split_conjuncts(sel.where), node, scope, ctes, corr_conjuncts,
+            allow_correlation=corr_sink is not None)
+        if corr_sink is not None:
+            corr_sink.extend(corr_conjuncts)
+
+        # aggregate extraction
+        agg_map: Dict[int, ir.Expr] = {}
+        agg_asts = []
+        for e in ([i.expr for i in sel.items if i.expr is not None]
+                  + ([sel.having] if sel.having else [])
+                  + [o.expr for o in sel.order_by]):
+            _collect_aggs(e, agg_asts)
+        has_agg = bool(agg_asts) or bool(sel.group_by)
+
+        select_alias_map: Dict[str, ast.Expr] = {}
+        for i in sel.items:
+            if i.alias and i.expr is not None:
+                select_alias_map[i.alias] = i.expr
+
+        if has_agg:
+            conv = ExprConverter(scope, self)
+            group_syms: List[str] = []
+            pre_extra: List[Tuple[str, ir.Expr]] = []
+            group_field_map: List[FieldRef] = []
+            for g in sel.group_by:
+                gast = g
+                if (isinstance(g, ast.Identifier) and g.qualifier is None
+                        and g.name in select_alias_map):
+                    gast = select_alias_map[g.name]
+                    alias = g.name
+                else:
+                    alias = g.name if isinstance(g, ast.Identifier) else None
+                gi = conv.convert(gast)
+                if isinstance(gi, ir.ColumnRef):
+                    sym = gi.name
+                else:
+                    sym = self.symbol(alias or "expr")
+                    pre_extra.append((sym, gi))
+                group_syms.append(sym)
+                fr = _field_for(scope, gi, sym, alias)
+                group_field_map.append(fr)
+
+            # correlated scalar-agg decorrelation: group by the inner
+            # correlation columns as well
+            if corr_sink is not None and corr_conjuncts:
+                for c in corr_conjuncts:
+                    inner_sym = _inner_equi_symbol(c, node.schema)
+                    if inner_sym and inner_sym not in group_syms:
+                        group_syms.append(inner_sym)
+                        t = node.schema[inner_sym]
+                        group_field_map.append(
+                            FieldRef(None, inner_sym, inner_sym, t))
+
+            aggcalls: List[AggCall] = []
+            for a in agg_asts:
+                fn = a.name if not a.is_star else "count_star"
+                if a.is_star:
+                    arg_ir = None
+                    fn = "count_star"
+                else:
+                    arg_ir = conv.convert(a.args[0])
+                t = agg_output_type(fn, arg_ir.type if arg_ir else None)
+                sym = self.symbol(fn)
+                aggcalls.append(AggCall(sym, fn, arg_ir, a.distinct, t))
+                agg_map[id(a)] = ir.ColumnRef(sym, t)
+            if conv.used_outer:
+                raise PlanError("correlated reference in aggregate arguments")
+
+            if pre_extra:
+                passthrough = [(s, ir.ColumnRef(s, t))
+                               for s, t in node.schema.items()]
+                node = Project(node, passthrough + pre_extra)
+            node = Aggregate(node, group_syms, aggcalls)
+            scope = Scope(group_field_map, outer)
+
+        # HAVING (may contain uncorrelated scalar subqueries, e.g. Q11)
+        if sel.having is not None:
+            node = self._plan_predicate(
+                split_conjuncts(sel.having), node, scope, ctes, [],
+                allow_correlation=False, agg_map=agg_map)
+
+        # SELECT projections
+        conv = ExprConverter(scope, self, agg_map=agg_map)
+        outputs: List[Tuple[str, ir.Expr]] = []
+        out_fields: List[FieldRef] = []
+        for i in sel.items:
+            if i.expr is None:  # star
+                for f in scope.fields:
+                    if i.star_qualifier and f.qualifier != i.star_qualifier:
+                        continue
+                    outputs.append((f.symbol, ir.ColumnRef(f.symbol, f.type)))
+                    out_fields.append(FieldRef(None, f.name, f.symbol, f.type))
+                continue
+            e = conv.convert(i.expr)
+            name = i.alias or (i.expr.name if isinstance(i.expr, ast.Identifier)
+                               else self.symbol("col").replace("#", "_"))
+            sym = e.name if isinstance(e, ir.ColumnRef) else self.symbol(name)
+            if not isinstance(e, ir.ColumnRef):
+                outputs.append((sym, e))
+            else:
+                outputs.append((sym, e))
+            out_fields.append(FieldRef(None, name, sym, e.type))
+        # correlated subqueries must also surface their correlation columns
+        # so the caller can join on them (hidden outputs)
+        if corr_sink is not None and corr_conjuncts:
+            out_syms = {s for s, _ in outputs}
+            pre_schema = node.schema
+            for c in corr_conjuncts:
+                for r in ir.walk(c):
+                    if (isinstance(r, ir.ColumnRef) and r.name in pre_schema
+                            and r.name not in out_syms):
+                        outputs.append((r.name, r))
+                        out_syms.add(r.name)
+        node = Project(node, outputs)
+        out_scope = Scope(out_fields, outer)
+
+        if sel.distinct:
+            node = Aggregate(node, [s for s, _ in outputs], [])
+
+        # ORDER BY / LIMIT
+        if sel.order_by:
+            # resolve against select outputs first, then the input relation
+            # (SQL ORDER BY scoping; reference StatementAnalyzer order-by scope)
+            sort_scope = _TwoLevelScope(Scope(out_fields), Scope(scope.fields),
+                                        outer)
+            sconv = ExprConverter(sort_scope, self, agg_map=agg_map)
+            keys = []
+            hidden: List[Tuple[str, ir.Expr]] = []
+            for o in sel.order_by:
+                e = sconv.convert(o.expr)
+                # ensure referenced symbols exist in projection output
+                for r in ir.walk(e):
+                    if isinstance(r, ir.ColumnRef) and r.name not in node.schema:
+                        hidden.append((r.name, r))
+                keys.append((e, o.ascending, o.nulls_first))
+            if hidden:
+                assert isinstance(node, Project)
+                node = Project(node.child, node.outputs + hidden)
+            node = Sort(node, keys, limit=sel.limit)
+        elif sel.limit is not None:
+            node = Limit(node, sel.limit)
+        return RelationPlan(node, out_scope)
+
+    # --------------------------------------------------- WHERE machinery
+
+    def _plan_predicate(self, conjuncts: List[ast.Expr], node, scope, ctes,
+                        corr_out: List[ir.Expr], allow_correlation: bool,
+                        agg_map=None) -> LogicalNode:
+        plain: List[ir.Expr] = []
+        for c in conjuncts:
+            neg = False
+            inner = c
+            while isinstance(inner, ast.UnaryOp) and inner.op == "not":
+                neg = not neg
+                inner = inner.operand
+            if isinstance(inner, ast.Exists):
+                node = self._plan_exists(inner.query, node, scope, ctes,
+                                         negated=neg != inner.negated)
+                continue
+            if isinstance(inner, ast.InSubquery):
+                node = self._plan_in_subquery(inner, node, scope, ctes,
+                                              negated=neg != inner.negated)
+                continue
+            # scalar subqueries inside the conjunct
+            subqs: List[ast.ScalarSubquery] = []
+            _collect_scalar_subqueries(c, subqs)
+            replace: Dict[int, ir.Expr] = {}
+            for sq in subqs:
+                node, ref = self._plan_scalar_subquery(sq.query, node, scope, ctes)
+                replace[id(sq)] = ref
+            conv = ExprConverter(scope, self, agg_map=agg_map, replace=replace)
+            e = conv.convert(c)
+            if conv.used_outer:
+                if not allow_correlation:
+                    raise PlanError("correlated predicate not supported here")
+                corr_out.append(e)
+            else:
+                plain.append(e)
+        if plain:
+            node = Filter(node, ir_conjoin(plain))
+        return node
+
+    def _plan_exists(self, query: ast.Query, node, scope, ctes, negated):
+        sink: List[ir.Expr] = []
+        sub = self.plan_query(query, scope, ctes, corr_sink=sink)
+        equis, residual = _split_join_condition(sink, node.schema,
+                                               sub.node.schema)
+        return Join(node, sub.node, "anti" if negated else "semi",
+                    equis, residual)
+
+    def _plan_in_subquery(self, e: ast.InSubquery, node, scope, ctes, negated):
+        sink: List[ir.Expr] = []
+        sub = self.plan_query(e.query, scope, ctes, corr_sink=sink)
+        if len(sub.scope.fields) != 1:
+            raise PlanError("IN subquery must produce one column")
+        f = sub.scope.fields[0]
+        conv = ExprConverter(scope, self)
+        val = conv.convert(e.expr)
+        equis = [(val, ir.ColumnRef(f.symbol, f.type))]
+        more, residual = _split_join_condition(sink, node.schema,
+                                              sub.node.schema)
+        return Join(node, sub.node, "anti" if negated else "semi",
+                    equis + more, residual)
+
+    def _plan_scalar_subquery(self, query: ast.Query, node, scope, ctes):
+        sink: List[ir.Expr] = []
+        sub = self.plan_query(query, scope, ctes, corr_sink=sink)
+        if len(sub.scope.fields) != 1:
+            raise PlanError("scalar subquery must produce one column")
+        f = sub.scope.fields[0]
+        ref = ir.ColumnRef(f.symbol, f.type)
+        if not sink:
+            return Join(node, sub.node, "cross", [], None,
+                        build_unique=True), ref
+        equis, residual = _split_join_condition(sink, node.schema,
+                                               sub.node.schema)
+        if residual is not None:
+            raise PlanError("non-equi correlation in scalar subquery")
+        # the decorrelated subquery groups by its correlation columns, so
+        # each outer row matches at most one group → LEFT join is exact
+        return Join(node, sub.node, "left", equis, None,
+                    build_unique=True), ref
+
+
+def _field_for(scope: Scope, e: ir.Expr, sym: str, alias: Optional[str]):
+    if isinstance(e, ir.ColumnRef):
+        for f in scope.fields:
+            if f.symbol == e.name:
+                return FieldRef(f.qualifier, alias or f.name, f.symbol, f.type)
+    return FieldRef(None, alias or sym, sym, e.type)
+
+
+def _inner_equi_symbol(c: ir.Expr, inner_schema) -> Optional[str]:
+    if isinstance(c, ir.Call) and c.fn == "=" and len(c.args) == 2:
+        a, b = c.args
+        if isinstance(a, ir.ColumnRef) and isinstance(b, ir.ColumnRef):
+            if a.name in inner_schema:
+                return a.name
+            if b.name in inner_schema:
+                return b.name
+    return None
+
+
+def _split_join_condition(conjuncts: List[ir.Expr], left_schema, right_schema):
+    """Partition correlated conjuncts into equi pairs (left, right) and a
+    residual expression."""
+    equis, residual = [], []
+    for c in conjuncts:
+        ok = False
+        if isinstance(c, ir.Call) and c.fn == "=" and len(c.args) == 2:
+            a, b = c.args
+            if isinstance(a, ir.ColumnRef) and isinstance(b, ir.ColumnRef):
+                if a.name in left_schema and b.name in right_schema:
+                    equis.append((a, b))
+                    ok = True
+                elif b.name in left_schema and a.name in right_schema:
+                    equis.append((b, a))
+                    ok = True
+        if not ok:
+            residual.append(c)
+    return equis, ir_conjoin(residual)
+
+
+def _collect_aggs(e: ast.Expr, out: List[ast.FuncCall]):
+    if isinstance(e, ast.FuncCall) and (e.name in AGG_FNS or e.is_star):
+        out.append(e)
+        return  # no nested aggregates
+    for child in _ast_children(e):
+        _collect_aggs(child, out)
+
+
+def _collect_scalar_subqueries(e: ast.Expr, out: List[ast.ScalarSubquery]):
+    if isinstance(e, ast.ScalarSubquery):
+        out.append(e)
+        return
+    for child in _ast_children(e):
+        _collect_scalar_subqueries(child, out)
+
+
+def _ast_children(e: ast.Expr):
+    if isinstance(e, ast.BinaryOp):
+        return [e.left, e.right]
+    if isinstance(e, ast.UnaryOp):
+        return [e.operand]
+    if isinstance(e, ast.FuncCall):
+        return e.args
+    if isinstance(e, ast.Case):
+        out = [c for w in e.whens for c in w]
+        if e.else_ is not None:
+            out.append(e.else_)
+        if e.operand is not None:
+            out.append(e.operand)
+        return out
+    if isinstance(e, ast.Cast):
+        return [e.expr]
+    if isinstance(e, ast.Between):
+        return [e.expr, e.low, e.high]
+    if isinstance(e, ast.InList):
+        return [e.expr] + e.items
+    if isinstance(e, ast.Like):
+        return [e.expr, e.pattern]
+    if isinstance(e, ast.IsNull):
+        return [e.expr]
+    if isinstance(e, ast.Extract):
+        return [e.expr]
+    if isinstance(e, ast.Substring):
+        return [e.expr, e.start] + ([e.length] if e.length else [])
+    return []
+
+
+class ExprConverter:
+    """AST expression → typed IR over a scope (the ExpressionAnalyzer)."""
+
+    def __init__(self, scope: Scope, planner: Planner, agg_map=None,
+                 replace=None):
+        self.scope = scope
+        self.planner = planner
+        self.agg_map = agg_map or {}
+        self.replace = replace or {}
+        self.used_outer: Set[str] = set()
+
+    def convert(self, e: ast.Expr) -> ir.Expr:
+        if id(e) in self.replace:
+            return self.replace[id(e)]
+        if id(e) in self.agg_map:
+            return self.agg_map[id(e)]
+        m = getattr(self, f"_c_{type(e).__name__}", None)
+        if m is None:
+            raise PlanError(f"cannot convert {type(e).__name__}")
+        return m(e)
+
+    def _c_Identifier(self, e: ast.Identifier) -> ir.Expr:
+        f, depth = self.scope.resolve(e.qualifier, e.name)
+        if depth > 0:
+            self.used_outer.add(f.symbol)
+        return ir.ColumnRef(f.symbol, f.type)
+
+    def _c_NumberLit(self, e: ast.NumberLit) -> ir.Expr:
+        if "." in e.text:
+            intpart, frac = e.text.split(".")
+            scale = len(frac)
+            v = int(intpart or "0") * 10 ** scale + int(frac or "0")
+            return ir.Literal(v, DecimalType(18, scale))
+        return ir.Literal(int(e.text), BIGINT)
+
+    def _c_StringLit(self, e: ast.StringLit) -> ir.Expr:
+        return ir.Literal(e.value, VARCHAR)
+
+    def _c_DateLit(self, e: ast.DateLit) -> ir.Expr:
+        return ir.Literal(_days(e.value), DATE)
+
+    def _c_BinaryOp(self, e: ast.BinaryOp) -> ir.Expr:
+        # constant-fold date ± interval
+        if e.op in ("+", "-") and isinstance(e.right, ast.IntervalLit):
+            left = self.convert(e.left)
+            if isinstance(left, ir.Literal) and left.type == DATE:
+                sign = 1 if e.op == "+" else -1
+                return ir.Literal(
+                    _fold_date(left.value, e.right.value, e.right.unit, sign),
+                    DATE)
+            raise PlanError("interval arithmetic only on date literals")
+        left = self.convert(e.left)
+        right = self.convert(e.right)
+        op = {"%": "mod"}.get(e.op, e.op)
+        return ir.call(op, left, right)
+
+    def _c_UnaryOp(self, e: ast.UnaryOp) -> ir.Expr:
+        child = self.convert(e.operand)
+        if e.op == "not":
+            return ir.call("not", child)
+        if isinstance(child, ir.Literal):
+            return ir.Literal(-child.value, child.type)
+        return ir.call("neg", child)
+
+    def _c_FuncCall(self, e: ast.FuncCall) -> ir.Expr:
+        raise PlanError(
+            f"aggregate {e.name} in invalid context (or unknown function)")
+
+    def _c_Case(self, e: ast.Case) -> ir.Expr:
+        args: List[ir.Expr] = []
+        for cond, val in e.whens:
+            if e.operand is not None:
+                cond = ast.BinaryOp("=", e.operand, cond)
+            args.append(self.convert(cond))
+            args.append(self.convert(val))
+        if e.else_ is not None:
+            args.append(self.convert(e.else_))
+        else:
+            t = args[1].type
+            if t.kind == "decimal":
+                args.append(ir.Literal(0, t))
+            elif t.kind == "double":
+                args.append(ir.Literal(0.0, DOUBLE))
+            else:
+                args.append(ir.Literal(0, t))
+        return ir.call("case", *args)
+
+    def _c_Cast(self, e: ast.Cast) -> ir.Expr:
+        t = parse_type(e.type_name)
+        return ir.call("cast", self.convert(e.expr), type=t)
+
+    def _c_Between(self, e: ast.Between) -> ir.Expr:
+        v = self.convert(e.expr)
+        lo = self.convert(e.low)
+        hi = self.convert(e.high)
+        out = ir.call("and", ir.call(">=", v, lo), ir.call("<=", v, hi))
+        return ir.call("not", out) if e.negated else out
+
+    def _c_InList(self, e: ast.InList) -> ir.Expr:
+        out = ir.call("in", self.convert(e.expr),
+                      *[self.convert(i) for i in e.items])
+        return ir.call("not", out) if e.negated else out
+
+    def _c_Like(self, e: ast.Like) -> ir.Expr:
+        out = ir.call("like", self.convert(e.expr), self.convert(e.pattern))
+        return ir.call("not", out) if e.negated else out
+
+    def _c_IsNull(self, e: ast.IsNull) -> ir.Expr:
+        out = ir.call("is_null", self.convert(e.expr))
+        return ir.call("not", out) if e.negated else out
+
+    def _c_Extract(self, e: ast.Extract) -> ir.Expr:
+        if e.field not in ("year", "month"):
+            raise PlanError(f"extract({e.field}) unsupported")
+        return ir.call(f"extract_{e.field}", self.convert(e.expr))
+
+    def _c_Substring(self, e: ast.Substring) -> ir.Expr:
+        args = [self.convert(e.expr), self.convert(e.start)]
+        if e.length is not None:
+            args.append(self.convert(e.length))
+        return ir.Call("substring", tuple(args), VARCHAR)
+
+    def _c_ScalarSubquery(self, e):
+        raise PlanError("scalar subquery in unsupported position")
+
+    def _c_Exists(self, e):
+        raise PlanError("EXISTS outside WHERE conjunct is unsupported")
+
+    def _c_InSubquery(self, e):
+        raise PlanError("IN (subquery) outside WHERE conjunct is unsupported")
+
+    def _c_IntervalLit(self, e):
+        raise PlanError("bare interval literal")
+
+
+def _fold_date(days: int, n: int, unit: str, sign: int) -> int:
+    d = EPOCH + days
+    if unit == "day":
+        return days + sign * n
+    m = d.astype("datetime64[M]")
+    day_of_month = int((d - m.astype("datetime64[D]")) / np.timedelta64(1, "D"))
+    m2 = m + sign * n * (12 if unit == "year" else 1)
+    out = m2.astype("datetime64[D]") + day_of_month
+    return int((out - EPOCH) / np.timedelta64(1, "D"))

@@ -85,7 +85,7 @@ class Stream:
 
     def ints(self, start: int, n: int, lo: int, hi: int, k: int = 0) -> np.ndarray:
         s = self.seeds(start, n, k)
-        return (lo + (s % np.uint64(hi - lo + 1))).astype(np.int64)
+        return (s % np.uint64(hi - lo + 1)).astype(np.int64) + lo
 
 
 # ------------------------------------------------------------------ text
@@ -279,8 +279,8 @@ class TpchGenerator:
         n_total = self.num_rows(table)
         stop = n_total if stop is None else min(stop, n_total)
         n = stop - start
-        fn = getattr(self, f"_{table}_{column[2:]}" if table != "lineitem"
-                     else f"_lineitem_{column[2:]}", None)
+        suffix = column.split("_", 1)[1]
+        fn = getattr(self, f"_{table}_{suffix}", None)
         if fn is None:
             raise KeyError(f"{table}.{column}")
         return fn(start, n)
