@@ -34,3 +34,10 @@ class Engine:
 
     def sql_pandas(self, sql: str):
         return self.sql(sql).to_pandas()
+
+    def compile(self, sql: str):
+        """Compile the whole query pipeline into one jitted XLA program
+        (runs one eager discovery pass to fix buffer capacities)."""
+        from .executor import CompiledQuery
+
+        return CompiledQuery(self.catalog, self.plan(sql))

@@ -1,24 +1,32 @@
-"""Logical plan execution over device batches.
+"""Logical plan execution over device batches — eager and compiled modes.
 
 The stand-in for the reference's whole worker data plane
 (LocalExecutionPlanner → Driver/operator chain,
 ``sql/planner/LocalExecutionPlanner.java:390``,
 ``operator/Driver.java:262``): each logical node maps to one vectorized
 operator call; XLA fuses the expression work into the operator kernels.
-This executor runs operator-at-a-time per fragment ("eager mode"),
-synchronising row counts between operators so buffer capacities stay tight
-and jit caches stay warm; fused single-program fragments ride the same
-operator functions (see parallel/ for the SPMD path).
 
-Filter→Aggregate is fused here the way the reference fuses
-ScanFilterAndProject (``operator/ScanFilterAndProjectOperator.java:64``):
-the filter never materialises, it becomes the aggregation mask.
+Two modes share the same operator code:
+
+* **eager (discovery)** — operator-at-a-time with host row-count syncs, so
+  buffer capacities stay tight.  Every data-dependent decision (key ranges,
+  join capacities, group counts) is recorded per plan-node path.
+* **compiled** — the recorded capacities make every shape static, so the
+  whole pipeline traces into ONE jitted XLA program (the "plan fragment =
+  one SPMD program" design from SURVEY.md §7).  Warm runs execute with a
+  single device dispatch — the Driver loop, quanta scheduling, and page
+  passing of the reference collapse into XLA's schedule.
+
+Filter→Aggregate is fused the way the reference fuses ScanFilterAndProject
+(``operator/ScanFilterAndProjectOperator.java:64``): the filter never
+materialises, it becomes the aggregation mask.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,12 +37,14 @@ from ..ops import (
     AggSpec, SortKey, filter_batch, global_aggregate, group_aggregate,
     hash_join, limit_batch, sort_batch,
 )
-from ..ops.filter import compact, filter_mask
+from ..ops.filter import filter_mask
 from ..ops.join import cross_join
 from ..ops.common import key_ranges
 from ..sql.logical import (
     Aggregate, Filter, Join, Limit, LogicalNode, Output, Project, Scan, Sort,
 )
+
+Path = Tuple[int, ...]
 
 
 class ExecError(Exception):
@@ -42,10 +52,18 @@ class ExecError(Exception):
 
 
 class Executor:
-    def __init__(self, catalog):
+    def __init__(self, catalog, compiled: bool = False,
+                 record: Optional[Dict[Path, dict]] = None,
+                 scan_arrays: Optional[Dict[str, jnp.ndarray]] = None):
         self.catalog = catalog
+        self.compiled = compiled
+        self.record: Dict[Path, dict] = record if record is not None else {}
+        self.scan_arrays = scan_arrays
 
     # ---- helpers
+
+    def _rec(self, path: Path) -> dict:
+        return self.record.setdefault(path, {})
 
     def _dicts(self, batch: RecordBatch) -> Dict[str, np.ndarray]:
         return {
@@ -57,7 +75,9 @@ class Executor:
         return bind_string_ops(e, self._dicts(batch))
 
     def _shrink(self, batch: RecordBatch) -> RecordBatch:
-        """Sync the row count to host and re-bucket capacity."""
+        """Sync the row count to host and re-bucket capacity (eager only)."""
+        if self.compiled:
+            return batch
         n = int(batch.num_rows) if not isinstance(batch.num_rows, int) else batch.num_rows
         cap = round_capacity(n)
         if cap < batch.capacity():
@@ -70,18 +90,29 @@ class Executor:
             return RecordBatch(cols, n)
         return RecordBatch(batch.columns, n)
 
+    def _ranges(self, path: Path, key: str, cols, num_rows):
+        """Key ranges: computed+recorded in eager mode, replayed compiled."""
+        rec = self._rec(path)
+        if self.compiled:
+            return rec[key]
+        r = key_ranges(cols, num_rows)
+        if key in rec:  # widen across runs
+            r = [(min(a[0], b[0]), max(a[1], b[1]))
+                 for a, b in zip(r, rec[key])]
+        rec[key] = r
+        return r
+
     # ---- dispatch
 
-    def execute(self, node: LogicalNode) -> RecordBatch:
+    def execute(self, node: LogicalNode, path: Path = ()) -> RecordBatch:
         m = getattr(self, f"_x_{type(node).__name__}")
-        return m(node)
+        return m(node, path)
 
-    def _x_Output(self, node: Output) -> RecordBatch:
-        b = self.execute(node.child)
+    def _x_Output(self, node: Output, path: Path) -> RecordBatch:
+        b = self.execute(node.child, path + (0,))
         cols = {}
         for name, sym in node.names:
             c = b[sym]
-            # allow duplicate display names by suffixing
             key = name
             i = 1
             while key in cols:
@@ -90,20 +121,47 @@ class Executor:
             cols[key] = c
         return RecordBatch(cols, b.num_rows)
 
-    def _x_Scan(self, node: Scan) -> RecordBatch:
+    def _x_Scan(self, node: Scan, path: Path) -> RecordBatch:
         table = self.catalog.table(node.table)
+        if self.compiled:
+            cols = {}
+            for c, sym in node.symbols.items():
+                src = table.column(c)
+                cols[sym] = Column(self.scan_arrays[sym], src.type,
+                                   dictionary=src.dictionary)
+            return RecordBatch(cols, table.num_rows)
         b = table.batch(list(node.symbols.keys()))
         cols = {node.symbols[c]: col for c, col in b.columns.items()}
         return RecordBatch(cols, b.num_rows)
 
-    def _x_Filter(self, node: Filter) -> RecordBatch:
-        child = self.execute(node.child)
-        pred = self._bind(node.predicate, child)
-        out = filter_batch(pred, child)
-        return self._shrink(out)
+    def scan_inputs(self, node: LogicalNode) -> Dict[str, jnp.ndarray]:
+        """Collect {symbol: device array} for every scan column in the plan
+        (the compiled program's inputs)."""
+        out: Dict[str, jnp.ndarray] = {}
+        if isinstance(node, Scan):
+            table = self.catalog.table(node.table)
+            for c, sym in node.symbols.items():
+                out[sym] = table.column(c).data
+        for child in node.children:
+            out.update(self.scan_inputs(child))
+        return out
 
-    def _x_Project(self, node: Project) -> RecordBatch:
-        child = self.execute(node.child)
+    def _x_Filter(self, node: Filter, path: Path) -> RecordBatch:
+        child = self.execute(node.child, path + (0,))
+        pred = self._bind(node.predicate, child)
+        rec = self._rec(path)
+        if self.compiled:
+            cap = rec["capacity"]
+        else:
+            cap = child.capacity()
+        out = filter_batch(pred, child, capacity=cap)
+        out = self._shrink(out)
+        if not self.compiled:
+            rec["capacity"] = max(out.capacity(), rec.get("capacity", 0))
+        return out
+
+    def _x_Project(self, node: Project, path: Path) -> RecordBatch:
+        child = self.execute(node.child, path + (0,))
         cols: Dict[str, Column] = {}
         for sym, e in node.outputs:
             if isinstance(e, ir.ColumnRef):
@@ -112,17 +170,17 @@ class Executor:
                 cols[sym] = eval_expr(self._bind(e, child), child)
         return RecordBatch(cols, child.num_rows)
 
-    def _x_Aggregate(self, node: Aggregate) -> RecordBatch:
+    def _x_Aggregate(self, node: Aggregate, path: Path) -> RecordBatch:
         # fuse an immediate child Filter into the aggregation mask
         mask = None
         child_node = node.child
         if isinstance(child_node, Filter):
-            below = self.execute(child_node.child)
+            below = self.execute(child_node.child, path + (0, 0))
             pred = self._bind(child_node.predicate, below)
             mask = filter_mask(pred, below)
             child = below
         else:
-            child = self.execute(child_node)
+            child = self.execute(child_node, path + (0,))
 
         aggs = [
             AggSpec(
@@ -139,22 +197,49 @@ class Executor:
         primary = node.primary or node.group
         keys = [(s, child[s]) for s in primary]
         carry = [(s, child[s]) for s in node.group if s not in primary]
-        ranges = key_ranges([c for _, c in keys], child.num_rows)
-        max_groups = round_capacity(child.num_rows)
+        ranges = self._ranges(path, "ranges", [c for _, c in keys],
+                              child.num_rows)
+        rec = self._rec(path)
+        if self.compiled:
+            max_groups = rec["max_groups"]
+        else:
+            # group count can never exceed the product of key-range spans
+            # (tight for enum keys: Q1's 3x2 flags -> 128 slots, not 8M)
+            span_product = 1
+            for lo, hi in ranges:
+                span_product *= (hi - lo + 2)
+                if span_product > child.num_rows:
+                    break
+            max_groups = round_capacity(min(child.num_rows, span_product))
+            max_groups = max(max_groups, rec.get("max_groups", 0))
+            rec["max_groups"] = max_groups
         out = group_aggregate(keys, aggs, child.num_rows, ranges, max_groups,
                               mask=mask, carry=carry)
         return self._shrink(out)
 
-    def _x_Join(self, node: Join) -> RecordBatch:
-        left = self.execute(node.left)
-        right = self.execute(node.right)
+    def _x_Join(self, node: Join, path: Path) -> RecordBatch:
+        left = self.execute(node.left, path + (0,))
+        right = self.execute(node.right, path + (1,))
+        rec = self._rec(path)
 
         if node.kind == "cross":
-            if right.num_rows == 1:
-                return cross_join(left, right, left.capacity())
-            if left.num_rows == 1:
-                return cross_join(right, left, right.capacity())
-            cap = round_capacity(max(left.num_rows * right.num_rows, 1))
+            if not self.compiled:
+                rec["scalar_build"] = (isinstance(right.num_rows, int)
+                                       and right.num_rows == 1) or \
+                    int(right.num_rows) == 1
+            if rec.get("scalar_build"):
+                right1 = RecordBatch(
+                    {n: c.with_data(
+                        c.data[:1],
+                        c.validity[:1] if c.validity is not None else None)
+                     for n, c in right.columns.items()}, 1)
+                return cross_join(left, right1, left.capacity())
+            if self.compiled:
+                cap = rec["capacity"]
+            else:
+                cap = round_capacity(
+                    max(int(left.num_rows) * int(right.num_rows), 1))
+                rec["capacity"] = max(cap, rec.get("capacity", 0))
             return self._shrink(cross_join(left, right, cap))
 
         # materialise key expressions as temp columns
@@ -171,45 +256,68 @@ class Executor:
         if not lkeys:
             raise ExecError(f"join without equi keys: {node.kind}")
 
-        lr = key_ranges([lb[k] for k in lkeys], lb.num_rows)
-        rr = key_ranges([rb[k] for k in rkeys], rb.num_rows)
-        ranges = [(min(a[0], b[0]), max(a[1], b[1])) for a, b in zip(lr, rr)]
+        if self.compiled:
+            ranges = rec["ranges"]
+        else:
+            lr = key_ranges([lb[k] for k in lkeys], lb.num_rows)
+            rr = key_ranges([rb[k] for k in rkeys], rb.num_rows)
+            ranges = [(min(a[0], b[0]), max(a[1], b[1]))
+                      for a, b in zip(lr, rr)]
+            if "ranges" in rec:
+                ranges = [(min(a[0], b[0]), max(a[1], b[1]))
+                          for a, b in zip(ranges, rec["ranges"])]
+            rec["ranges"] = ranges
 
         residual = None
         if node.residual is not None:
-            # bound against the combined pair schema
             merged = RecordBatch({**lb.columns, **rb.columns}, 0)
             residual = self._bind(node.residual, merged)
 
         if node.kind in ("semi", "anti"):
-            cap = round_capacity(max(lb.num_rows, 1))
+            cap = round_capacity(max(int(lb.num_rows), 1)) \
+                if not self.compiled else rec["capacity"]
             if residual is not None:
-                cap_pairs = round_capacity(max(lb.num_rows * 4, 128))
-                while True:
-                    stats: Dict[str, object] = {}
+                if self.compiled:
                     out = hash_join(lb, rb, lkeys, rkeys, node.kind, ranges,
-                                    cap_pairs, residual=residual, stats=stats)
-                    pairs_total = int(stats["pairs_total"])  # type: ignore[arg-type]
-                    if pairs_total <= cap_pairs:
-                        break
-                    cap_pairs = round_capacity(pairs_total)
+                                    rec["pairs_capacity"], residual=residual)
+                else:
+                    cap_pairs = round_capacity(max(int(lb.num_rows) * 4, 128))
+                    while True:
+                        stats: Dict[str, object] = {}
+                        out = hash_join(lb, rb, lkeys, rkeys, node.kind,
+                                        ranges, cap_pairs, residual=residual,
+                                        stats=stats)
+                        pairs_total = int(stats["pairs_total"])  # type: ignore[arg-type]
+                        if pairs_total <= cap_pairs:
+                            break
+                        cap_pairs = round_capacity(pairs_total)
+                    rec["pairs_capacity"] = max(
+                        cap_pairs, rec.get("pairs_capacity", 0))
             else:
                 out = hash_join(lb, rb, lkeys, rkeys, node.kind, ranges, cap)
+            if not self.compiled:
+                rec["capacity"] = max(cap, rec.get("capacity", 0))
             out = self._drop_temp(out)
             return self._shrink(out)
 
         # inner / left
-        if node.build_unique:
-            cap = round_capacity(max(lb.num_rows, 1))
-        else:
-            cap = round_capacity(max(lb.num_rows * 2, 128))
-        while True:
+        if self.compiled:
+            cap = rec["capacity"]
             out = hash_join(lb, rb, lkeys, rkeys, node.kind, ranges, cap,
                             residual=residual)
-            total = int(out.num_rows)
-            if total <= cap:
-                break
-            cap = round_capacity(total)
+        else:
+            if node.build_unique:
+                cap = round_capacity(max(int(lb.num_rows), 1))
+            else:
+                cap = round_capacity(max(int(lb.num_rows) * 2, 128))
+            while True:
+                out = hash_join(lb, rb, lkeys, rkeys, node.kind, ranges, cap,
+                                residual=residual)
+                total = int(out.num_rows)
+                if total <= cap:
+                    break
+                cap = round_capacity(total)
+            rec["capacity"] = max(cap, rec.get("capacity", 0))
         out = self._drop_temp(out)
         return self._shrink(out)
 
@@ -217,8 +325,8 @@ class Executor:
         cols = {n: c for n, c in b.columns.items() if not n.startswith("__")}
         return RecordBatch(cols, b.num_rows)
 
-    def _x_Sort(self, node: Sort) -> RecordBatch:
-        child = self.execute(node.child)
+    def _x_Sort(self, node: Sort, path: Path) -> RecordBatch:
+        child = self.execute(node.child, path + (0,))
         keys = [
             SortKey(eval_expr(self._bind(e, child), child), asc, nf)
             for e, asc, nf in node.keys
@@ -226,6 +334,55 @@ class Executor:
         out = sort_batch(child, keys, limit=node.limit)
         return self._shrink(out)
 
-    def _x_Limit(self, node: Limit) -> RecordBatch:
-        child = self.execute(node.child)
+    def _x_Limit(self, node: Limit, path: Path) -> RecordBatch:
+        child = self.execute(node.child, path + (0,))
         return self._shrink(limit_batch(child, node.n))
+
+
+class CompiledQuery:
+    """A query pipeline traced into one XLA program.
+
+    The reference compiles expressions per query into JVM bytecode and
+    interprets the operator chain; here the entire chain (expressions AND
+    operators) is one fused, compiler-scheduled program.
+    """
+
+    def __init__(self, catalog, plan: LogicalNode):
+        self.catalog = catalog
+        self.plan = plan
+        discoverer = Executor(catalog)
+        self._discovery = discoverer.execute(plan)
+        self.record = discoverer.record
+        self.inputs = discoverer.scan_inputs(plan)
+        self._names: List[str] = list(self._discovery.columns.keys())
+        self._meta = {
+            n: (c.type, c.dictionary)
+            for n, c in self._discovery.columns.items()
+        }
+
+        def fn(arrays: Dict[str, jnp.ndarray]):
+            ex = Executor(catalog, compiled=True, record=self.record,
+                          scan_arrays=arrays)
+            out = ex.execute(plan)
+            data = {n: c.data for n, c in out.columns.items()}
+            validity = {n: c.validity for n, c in out.columns.items()
+                        if c.validity is not None}
+            return data, validity, out.num_rows
+
+        self._jfn = jax.jit(fn)
+
+    def __call__(self) -> RecordBatch:
+        data, validity, num_rows = self._jfn(self.inputs)
+        cols = {
+            n: Column(data[n], self._meta[n][0], validity=validity.get(n),
+                      dictionary=self._meta[n][1])
+            for n in self._names
+        }
+        n = int(num_rows) if not isinstance(num_rows, int) else num_rows
+        return RecordBatch(cols, n)
+
+    def block_run(self):
+        """Execute and block until complete (for benchmarking)."""
+        data, validity, num_rows = self._jfn(self.inputs)
+        jax.block_until_ready(data)
+        return num_rows

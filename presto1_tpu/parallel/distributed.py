@@ -1,0 +1,198 @@
+"""Distributed query steps: SPMD plan fragments over a device mesh.
+
+Where the reference schedules N identical tasks per stage and shuffles
+pages over HTTP (``execution/SqlStageExecution.java:384``,
+``SystemPartitioningHandle`` FIXED_HASH_DISTRIBUTION), here a stage is one
+``shard_map``-ped function over a ``jax.sharding.Mesh``:
+
+* source stages read row-sharded table columns (inter-node data
+  parallelism — splits become shard rows),
+* FIXED_HASH exchanges are ``all_to_all_by_key`` (exchange.py) over ICI,
+* broadcast distribution is a replicated sharding,
+* partial→final aggregation is local segment-sum + ``psum`` (small group
+  counts) or a key repartition + local final (large group counts).
+
+The functions here are building blocks used by the multi-chip executor and
+by ``__graft_entry__.dryrun_multichip``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .exchange import all_to_all_by_key
+
+
+def make_mesh(n_devices: int, axis: str = "d") -> Mesh:
+    devices = jax.devices()[:n_devices]
+    return Mesh(devices, (axis,))
+
+
+def shard_rows(mesh: Mesh, arr: jnp.ndarray, axis: str = "d") -> jnp.ndarray:
+    return jax.device_put(arr, NamedSharding(mesh, P(axis)))
+
+
+def replicate(mesh: Mesh, arr: jnp.ndarray) -> jnp.ndarray:
+    return jax.device_put(arr, NamedSharding(mesh, P()))
+
+
+# ---------------------------------------------------------------- aggregate
+
+
+def local_dense_group_sums(gids, num_groups: int, values: List[jnp.ndarray],
+                           mask):
+    """Per-shard partial aggregation into a dense [num_groups] table.
+    gids must be globally consistent (e.g. packed key words)."""
+    ids = jnp.where(mask, gids, num_groups)
+    outs = [
+        jax.ops.segment_sum(v, ids, num_segments=num_groups) for v in values
+    ]
+    counts = jax.ops.segment_sum(jnp.ones_like(ids), ids,
+                                 num_segments=num_groups)
+    return outs, counts
+
+
+def distributed_q1_step(axis_name, num_groups: int):
+    """The flagship fragment: TPC-H Q1 as one SPMD program.
+
+    Per shard: predicate mask → dense group ids from the packed flag pair →
+    partial segment sums → psum over the mesh (the FIXED_HASH exchange for
+    a tiny group domain degenerates to an all-reduce, exactly as the
+    reference's partial→final aggregation exchange would with 6 groups).
+    ``axis_name=None`` gives the single-chip variant (no collective).
+    """
+
+    def step(returnflag, linestatus, qty, price, disc, tax, shipdate,
+             num_valid):
+        cap = returnflag.shape[0]
+        live = jnp.arange(cap) < num_valid
+        mask = live & (shipdate <= 10471)  # 1998-09-02
+        gids = (returnflag.astype(jnp.int64) * 2
+                + linestatus.astype(jnp.int64))
+        disc_price = price * (100 - disc)          # scale 4
+        charge = disc_price * (100 + tax)          # scale 6 (limb-split sum)
+        lo = charge & jnp.int64(0xFFFFFFFF)
+        hi = charge >> 32
+        (sq, sp, sdp, clo, chi, sdisc), counts = local_dense_group_sums(
+            gids, num_groups, [qty, price, disc_price, lo, hi, disc], mask)
+        # partial -> final: all-reduce the dense tables over ICI
+        if axis_name is not None:
+            sq, sp, sdp, clo, chi, sdisc, counts = (
+                jax.lax.psum(t, axis_name)
+                for t in (sq, sp, sdp, clo, chi, sdisc, counts))
+        charge_f = chi.astype(jnp.float64) * 4294967296.0 + clo.astype(jnp.float64)
+        cnt = jnp.maximum(counts, 1)
+        return {
+            "sum_qty": sq, "sum_base_price": sp, "sum_disc_price": sdp,
+            "sum_charge": charge_f,
+            "avg_qty": sq.astype(jnp.float64) / (cnt * 100),
+            "avg_price": sp.astype(jnp.float64) / (cnt * 100),
+            "avg_disc": sdisc.astype(jnp.float64) / (cnt * 100),
+            "count_order": counts,
+        }
+
+    return step
+
+
+def distributed_join_agg_step(axis_name: str, quota: int, build_cap: int):
+    """A repartitioned join fragment: both sides exchanged by key over ICI
+    (FIXED_HASH), then a local sorted-probe join and partial aggregation.
+
+    The shape of TPC-H Q3/Q5-style stages: shuffle lineitem and orders by
+    orderkey, join locally, aggregate partially, reduce.
+    """
+
+    def step(l_key, l_val, l_valid, o_key, o_val, o_valid):
+        larr, lkey, lmask = all_to_all_by_key(
+            {"val": l_val}, l_key, l_valid, axis_name, quota)
+        oarr, okey, omask = all_to_all_by_key(
+            {"val": o_val}, o_key, o_valid, axis_name, quota)
+
+        # local join: sort build side, searchsorted probe (ops/join.py design)
+        SENT = jnp.iinfo(jnp.int64).max
+        bk = jnp.where(omask, okey, SENT)
+        order = jnp.argsort(bk)
+        bk_sorted = jnp.take(bk, order)
+        bval_sorted = jnp.take(oarr["val"], order)
+        pk = jnp.where(lmask, lkey, -1)
+        lo = jnp.searchsorted(bk_sorted, pk, side="left")
+        hi = jnp.searchsorted(bk_sorted, pk, side="right")
+        matched = (hi > lo) & lmask
+        bpos = jnp.clip(lo, 0, build_cap - 1)
+        joined_val = jnp.where(matched,
+                               larr["val"] + jnp.take(bval_sorted, bpos),
+                               0)
+        total = jax.lax.psum(jnp.sum(joined_val), axis_name)
+        rows = jax.lax.psum(jnp.sum(matched.astype(jnp.int64)), axis_name)
+        return total, rows
+
+    return step
+
+
+def dryrun_q1(mesh: Mesh, rows_per_shard: int = 256):
+    """Compile + run the Q1 SPMD fragment on tiny shapes over the mesh."""
+    import numpy as np
+    from jax import shard_map
+
+    n = len(mesh.devices.flat)
+    cap = rows_per_shard * n
+    rng = np.random.RandomState(0)
+    cols = dict(
+        returnflag=rng.randint(0, 3, cap).astype(np.int64),
+        linestatus=rng.randint(0, 2, cap).astype(np.int64),
+        qty=rng.randint(100, 5000, cap).astype(np.int64),
+        price=rng.randint(90000, 200000, cap).astype(np.int64),
+        disc=rng.randint(0, 11, cap).astype(np.int64),
+        tax=rng.randint(0, 9, cap).astype(np.int64),
+        shipdate=rng.randint(8000, 10600, cap).astype(np.int64),
+    )
+    sharded = {k: shard_rows(mesh, jnp.asarray(v)) for k, v in cols.items()}
+    num_valid = replicate(mesh, jnp.asarray(rows_per_shard, jnp.int64))
+
+    step = distributed_q1_step("d", num_groups=8)
+    smapped = shard_map(
+        step, mesh=mesh,
+        in_specs=(P("d"), P("d"), P("d"), P("d"), P("d"), P("d"), P("d"),
+                  P()),
+        out_specs=P(),
+    )
+    jitted = jax.jit(smapped)
+    out = jitted(sharded["returnflag"], sharded["linestatus"],
+                 sharded["qty"], sharded["price"], sharded["disc"],
+                 sharded["tax"], sharded["shipdate"], num_valid)
+    jax.block_until_ready(out)
+    return out
+
+
+def dryrun_join(mesh: Mesh, rows_per_shard: int = 256):
+    """Compile + run the repartitioned-join fragment on tiny shapes."""
+    import numpy as np
+    from jax import shard_map
+
+    n = len(mesh.devices.flat)
+    cap = rows_per_shard * n
+    rng = np.random.RandomState(1)
+    l_key = jnp.asarray(rng.randint(0, cap, cap).astype(np.int64))
+    l_val = jnp.asarray(rng.randint(0, 100, cap).astype(np.int64))
+    o_key = jnp.asarray(np.arange(cap, dtype=np.int64))
+    o_val = jnp.asarray(rng.randint(0, 100, cap).astype(np.int64))
+
+    quota = rows_per_shard * 2
+    step = distributed_join_agg_step("d", quota, build_cap=n * quota)
+    smapped = shard_map(
+        step, mesh=mesh,
+        in_specs=(P("d"), P("d"), P(), P("d"), P("d"), P()),
+        out_specs=(P(), P()),
+    )
+    jitted = jax.jit(smapped)
+    nv = jnp.asarray(rows_per_shard, jnp.int64)
+    total, rows = jitted(
+        shard_rows(mesh, l_key), shard_rows(mesh, l_val), replicate(mesh, nv),
+        shard_rows(mesh, o_key), shard_rows(mesh, o_val), replicate(mesh, nv))
+    jax.block_until_ready((total, rows))
+    return int(total), int(rows)
