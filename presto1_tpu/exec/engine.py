@@ -18,7 +18,6 @@ from .executor import Executor
 class Engine:
     def __init__(self, catalog: Catalog):
         self.catalog = catalog
-        self.executor = Executor(catalog)
 
     def plan(self, sql: str) -> LogicalNode:
         q = sql_parser.parse(sql)
@@ -29,8 +28,12 @@ class Engine:
         return plan_tree(self.plan(sql))
 
     def sql(self, sql: str):
-        """Execute; returns the Output RecordBatch (display-named columns)."""
-        return self.executor.execute(self.plan(sql))
+        """Execute; returns the Output RecordBatch (display-named columns).
+
+        A fresh Executor per statement: capacity/range records are
+        plan-specific (sharing them across different plans would corrupt
+        shapes)."""
+        return Executor(self.catalog).execute(self.plan(sql))
 
     def sql_pandas(self, sql: str):
         return self.sql(sql).to_pandas()

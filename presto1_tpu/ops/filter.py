@@ -35,10 +35,12 @@ def filter_mask(predicate: Expr, batch: RecordBatch) -> jnp.ndarray:
 
 def compact(batch: RecordBatch, mask: jnp.ndarray,
             capacity: Optional[int] = None) -> RecordBatch:
-    """Stable-compact rows where mask is True into a padded batch."""
+    """Stable-compact rows where mask is True into a padded batch
+    (sort-based — see ops/segments.py on why not scatter/nonzero)."""
+    from .segments import compact_indices
+
     cap = capacity if capacity is not None else batch.capacity()
-    idx = jnp.nonzero(mask, size=cap, fill_value=0)[0]
-    count = jnp.sum(mask)
+    idx, count = compact_indices(mask, cap)
     return batch.gather(idx, count)
 
 

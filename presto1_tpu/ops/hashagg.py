@@ -30,6 +30,7 @@ import numpy as np
 from ..batch import Column, RecordBatch
 from ..types import BIGINT, DOUBLE, DecimalType, SqlType
 from .common import INT64_MAX, iota, pack_key_words
+from .segments import segment_bounds, sorted_segment_minmax, sorted_segment_sum
 
 
 @dataclass
@@ -55,11 +56,13 @@ class AggSpec:
 
 
 def _group_structure(key_words, max_groups: int):
-    """Sort the packed key word(s); derive per-row group ids and segments."""
+    """Sort the packed key word(s); derive segment bounds — no scatters."""
     n = key_words[0].shape[0]
     out = jax.lax.sort(tuple(key_words) + (iota(n),), num_keys=len(key_words))
     sorted_words, order = out[:-1], out[-1]
-    boundary = jnp.zeros((n,), dtype=bool).at[0].set(True)
+    boundary = jnp.concatenate([
+        jnp.ones((1,), dtype=bool),
+        jnp.zeros((n - 1,), dtype=bool)]) if n else jnp.zeros((0,), bool)
     for w in sorted_words:
         prev = jnp.concatenate([jnp.full((1,), -1, dtype=jnp.int64), w[:-1]])
         boundary = boundary | (w != prev)
@@ -67,76 +70,76 @@ def _group_structure(key_words, max_groups: int):
     gid_raw = jnp.cumsum(boundary) - 1
     num_groups = jnp.sum(boundary & real)
     gid_sorted = jnp.where(real, gid_raw, max_groups)
-    # first-occurrence original row index per group (for key materialisation)
-    repr_idx = jax.ops.segment_min(
-        order, gid_sorted, num_segments=max_groups, indices_are_sorted=True
-    )
-    return order, gid_sorted, num_groups, repr_idx
+    starts, ends = segment_bounds(gid_sorted, max_groups)
+    repr_idx = jnp.take(order, jnp.clip(starts, 0, n - 1))
+    return order, gid_sorted, num_groups, starts, ends, repr_idx
 
 
 _LIMB = jnp.int64(1 << 32)
 _LIMB_MASK = jnp.int64((1 << 32) - 1)
 
 
-def _exact_sum_f64(vals_i64, gids, num_segments):
+def _exact_sum_f64(vals_i64, starts, ends):
     """Overflow-proof int64 segmented sum, recombined in float64."""
-    lo = vals_i64 & _LIMB_MASK
-    hi = vals_i64 >> 32
-    slo = jax.ops.segment_sum(lo, gids, num_segments=num_segments,
-                              indices_are_sorted=True)
-    shi = jax.ops.segment_sum(hi, gids, num_segments=num_segments,
-                              indices_are_sorted=True)
+    slo = sorted_segment_sum(vals_i64 & _LIMB_MASK, starts, ends)
+    shi = sorted_segment_sum(vals_i64 >> 32, starts, ends)
     return shi.astype(jnp.float64) * 4294967296.0 + slo.astype(jnp.float64)
 
 
-def _eval_agg(spec: AggSpec, order, gid_sorted, max_groups: int, live_sorted):
+def _eval_agg(spec: AggSpec, order, gid_sorted, starts, ends, max_groups: int):
     """One aggregate over the sorted arrangement. Returns Column (len max_groups)."""
     fn = spec.fn
     if fn == "count_star":
-        cnt = jax.ops.segment_sum(
-            jnp.ones_like(gid_sorted), gid_sorted, num_segments=max_groups,
-            indices_are_sorted=True)
-        return Column(cnt.astype(jnp.int64), BIGINT)
+        return Column((ends - starts).astype(jnp.int64), BIGINT)
 
     c = spec.input
     vals = jnp.take(c.data, order, mode="clip")
-    valid = jnp.take(c.validity, order, mode="clip") if c.validity is not None else None
-    gids = gid_sorted if valid is None else jnp.where(valid, gid_sorted, max_groups)
+    valid = (jnp.take(c.validity, order, mode="clip")
+             if c.validity is not None else None)
 
-    cnt = jax.ops.segment_sum(
-        jnp.ones_like(gids), gids, num_segments=max_groups, indices_are_sorted=True)
+    if valid is None:
+        cnt = (ends - starts).astype(jnp.int64)
+    else:
+        cnt = sorted_segment_sum(valid.astype(jnp.int64), starts, ends)
     nonempty = cnt > 0
 
     if fn == "count":
-        return Column(cnt.astype(jnp.int64), BIGINT)
+        return Column(cnt, BIGINT)
 
     t = c.type
     out_t = spec.output_type()
 
     if fn in ("sum", "avg"):
+        if valid is not None:
+            vals = jnp.where(valid, vals, jnp.zeros((), vals.dtype))
         if t.kind == "double":
-            s = jax.ops.segment_sum(vals, gids, num_segments=max_groups,
-                                    indices_are_sorted=True)
+            s = sorted_segment_sum(vals, starts, ends)
             if fn == "avg":
                 s = s / jnp.maximum(cnt, 1)
             return Column(s, DOUBLE, validity=nonempty)
         vals64 = vals.astype(jnp.int64)
         if fn == "avg":
-            total = _exact_sum_f64(vals64, gids, max_groups)
+            total = _exact_sum_f64(vals64, starts, ends)
             scale = 10 ** t.scale if t.kind == "decimal" else 1  # type: ignore[attr-defined]
             out = total / (jnp.maximum(cnt, 1) * scale)
             return Column(out, DOUBLE, validity=nonempty)
         if out_t.kind == "double":  # wide-scale decimal: exact limbs -> f64
-            total = _exact_sum_f64(vals64, gids, max_groups)
+            total = _exact_sum_f64(vals64, starts, ends)
             scale = 10 ** t.scale  # type: ignore[attr-defined]
             return Column(total / scale, DOUBLE, validity=nonempty)
-        s = jax.ops.segment_sum(vals64, gids, num_segments=max_groups,
-                                indices_are_sorted=True)
+        s = sorted_segment_sum(vals64, starts, ends)
         return Column(s, out_t, validity=nonempty)
 
     if fn in ("min", "max"):
-        op = jax.ops.segment_min if fn == "min" else jax.ops.segment_max
-        out = op(vals, gids, num_segments=max_groups, indices_are_sorted=True)
+        if vals.dtype.kind == "f":
+            sent = jnp.asarray(np.inf if fn == "min" else -np.inf, vals.dtype)
+        else:
+            info = np.iinfo(np.dtype(vals.dtype.name))
+            sent = jnp.asarray(info.max if fn == "min" else info.min,
+                               vals.dtype)
+        if valid is not None:
+            vals = jnp.where(valid, vals, sent)
+        out = sorted_segment_minmax(vals, gid_sorted, ends, fn == "min")
         out = jnp.where(nonempty, out, jnp.zeros((), out.dtype))
         return Column(out, t, validity=nonempty, dictionary=c.dictionary)
 
@@ -161,17 +164,16 @@ def group_aggregate(
     """
     key_cols = [c for _, c in keys]
     words = pack_key_words(key_cols, ranges, num_rows, mask=mask)
-    order, gid_sorted, num_groups, repr_idx = _group_structure(words, max_groups)
-    live_sorted = gid_sorted < max_groups
+    order, gid_sorted, num_groups, starts, ends, repr_idx = _group_structure(
+        words, max_groups)
 
     out = {}
-    safe_repr = jnp.clip(repr_idx, 0, words[0].shape[0] - 1)
     group_live = iota(max_groups) < num_groups
     for name, c in list(keys) + list(carry):
-        out[name] = c.gather(safe_repr, valid=None)
+        out[name] = c.gather(repr_idx, valid=None)
         # key columns of dead slots are garbage but num_rows masks them
     for spec in aggs:
-        col = _eval_agg(spec, order, gid_sorted, max_groups, live_sorted)
+        col = _eval_agg(spec, order, gid_sorted, starts, ends, max_groups)
         if col.validity is not None:
             col = col.with_data(col.data, col.validity & group_live)
         out[spec.name] = col

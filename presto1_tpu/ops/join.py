@@ -29,6 +29,7 @@ from ..batch import Column, RecordBatch
 from ..expr.ir import Expr
 from ..expr.eval import eval_predicate
 from .common import INT64_MAX, iota, pack_keys
+from .segments import compact_indices, sorted_segment_sum
 
 
 def _probe_ranges(probe, build, probe_keys, build_keys, ranges):
@@ -64,7 +65,7 @@ def _expand(probe, build, lo, counts_real, counts_emit, bperm, capacity):
         cols[name] = c.gather(pidx)
     for name, c in build.columns.items():
         cols[name] = c.gather(bpos, valid=matched)
-    return RecordBatch(cols, total), pidx, matched, out_live
+    return RecordBatch(cols, total), pidx, matched, out_live, offsets
 
 
 def hash_join(
@@ -84,30 +85,34 @@ def hash_join(
     if kind in ("semi", "anti") and residual is None:
         hit = counts > 0
         mask = (hit if kind == "semi" else ~hit) & live
-        idx = jnp.nonzero(mask, size=capacity, fill_value=0)[0]
-        return probe.gather(idx, jnp.sum(mask))
+        idx, n = compact_indices(mask, capacity)
+        return probe.gather(idx, n)
 
     if kind in ("semi", "anti"):
-        # expand all candidate pairs, apply residual, reduce per probe row
-        pairs, pidx, matched, out_live = _expand(
+        # expand all candidate pairs, apply residual, reduce per probe row.
+        # pair rows are ordered by probe row, so the per-probe "any pair
+        # passes" reduction is a prefix-sum difference (no scatter).
+        pairs, pidx, matched, out_live, offsets = _expand(
             probe, build, lo, counts, counts, bperm, capacity)
         if stats is not None:
             stats["pairs_total"] = pairs.num_rows
         rm = eval_predicate(residual, pairs) & matched & out_live
-        hits = jax.ops.segment_sum(
-            rm.astype(jnp.int32), pidx, num_segments=np_)
+        hits = sorted_segment_sum(
+            rm.astype(jnp.int64),
+            jnp.clip(offsets - counts, 0, capacity),
+            jnp.clip(offsets, 0, capacity))
         hit = hits > 0
         mask = (hit if kind == "semi" else ~hit) & live
-        idx = jnp.nonzero(mask, size=np_, fill_value=0)[0]
-        return probe.gather(idx, jnp.sum(mask))
+        idx, n = compact_indices(mask, np_)
+        return probe.gather(idx, n)
 
     if kind == "inner":
-        pairs, pidx, matched, out_live = _expand(
+        pairs, pidx, matched, out_live, _ = _expand(
             probe, build, lo, counts, counts, bperm, capacity)
         if residual is not None:
             rm = eval_predicate(residual, pairs) & out_live
-            idx = jnp.nonzero(rm, size=capacity, fill_value=0)[0]
-            return pairs.gather(idx, jnp.sum(rm))
+            idx, n = compact_indices(rm, capacity)
+            return pairs.gather(idx, n)
         return pairs
 
     if kind == "left":
@@ -116,7 +121,7 @@ def hash_join(
                 "LEFT JOIN with residual condition (push single-side "
                 "conjuncts below the join instead)")
         counts_emit = jnp.where(live, jnp.maximum(counts, 1), 0)
-        pairs, pidx, matched, out_live = _expand(
+        pairs, pidx, matched, out_live, _ = _expand(
             probe, build, lo, counts, counts_emit, bperm, capacity)
         return pairs
 

@@ -57,21 +57,23 @@ def all_to_all_by_key(
     dest = partition_of(key, n)
     dest = jnp.where(live, dest, n)  # dead rows route nowhere
 
-    # stable-sort rows by destination; position within each dest group
+    # stable-sort rows by destination; bucket slots filled by GATHER from
+    # the sorted arrangement (scatter is pathologically slow on TPU —
+    # see ops/segments.py)
     order = jnp.argsort(dest, stable=True)
     dest_sorted = jnp.take(dest, order)
     start = jnp.searchsorted(dest_sorted, jnp.arange(n + 1))
-    pos_in_group = jnp.arange(cap) - jnp.take(start, dest_sorted, mode="clip")
     counts = jnp.minimum(start[1:] - start[:-1], quota)
+    slot_src = start[:n, None] + jnp.arange(quota)[None, :]  # [n, quota]
+    slot_ok = jnp.arange(quota)[None, :] < counts[:, None]
+    slot_row = jnp.take(order, jnp.clip(slot_src, 0, cap - 1), mode="clip")
 
     def pack(a: jnp.ndarray) -> jnp.ndarray:
-        a_sorted = jnp.take(a, order, mode="clip")
-        buf = jnp.zeros((n + 1, quota) + a.shape[1:], dtype=a.dtype)
-        ok = (pos_in_group < quota)
-        d = jnp.where(ok, dest_sorted, n)
-        p = jnp.clip(pos_in_group, 0, quota - 1)
-        buf = buf.at[d, p].set(a_sorted, mode="drop")
-        return buf[:n]
+        buf = jnp.take(a, slot_row, mode="clip")
+        return jnp.where(
+            slot_ok.reshape(slot_ok.shape + (1,) * (buf.ndim - 2))
+            if buf.ndim > 2 else slot_ok,
+            buf, jnp.zeros((), a.dtype))
 
     send = {name: pack(a) for name, a in arrays.items()}
     send_key = pack(key)
