@@ -80,6 +80,16 @@ class TpchTable(Table):
         from ..tpch.schema import ENUM_VOCABS
 
         t = self.schema[column]
+        if t.is_string:
+            # native fast path: packed text extraction + C++ dict encoding
+            packed = self.gen.text_packed(self.name, column)
+            if packed is not None:
+                from .. import native
+
+                res = native.dict_encode_packed(*packed)
+                if res is not None:
+                    dictionary, codes = res
+                    return Column(jnp.asarray(codes), t, dictionary=dictionary)
         values = self.gen.column(self.name, column)
         if t.is_string:
             vocab = ENUM_VOCABS.get((self.name, column))

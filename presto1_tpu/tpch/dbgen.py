@@ -170,12 +170,53 @@ def _verb_phrase(kind, verb, aux, adv):
     return f"{aux} {verb} {adv}"
 
 
+@lru_cache(maxsize=1)
+def _pool_bytes() -> np.ndarray:
+    return np.frombuffer(text_pool().encode(), dtype=np.uint8)
+
+
+@lru_cache(maxsize=1)
+def _pool_raw() -> bytes:
+    return text_pool().encode()
+
+
 def _text_column(stream: Stream, start: int, n: int, lo: int, hi: int,
                  k: int = 0) -> np.ndarray:
     pool = text_pool()
     lengths = stream.ints(start, n, lo, hi, k)
     offsets = stream.ints(start, n, 0, len(pool) - hi - 1, k + 1)
     return np.array([pool[o:o + l] for o, l in zip(offsets, lengths)], dtype=object)
+
+
+def _text_column_packed(stream: Stream, start: int, n: int, lo: int, hi: int,
+                        k: int = 0):
+    """(arena bytes, offsets[n+1]) via the native extractor, or None."""
+    from .. import native
+
+    L = native.lib()
+    if L is None:
+        return None
+    pool = _pool_raw()
+    lengths = stream.ints(start, n, lo, hi, k)
+    offsets = stream.ints(start, n, 0, len(pool) - hi - 1, k + 1)
+    arena = np.empty(int(lengths.sum()), dtype=np.uint8)
+    out_offsets = np.empty(n + 1, dtype=np.int64)
+    L.p1_text_extract(pool, offsets, lengths, n, arena, out_offsets)
+    return arena, out_offsets
+
+
+# comment columns generated via the plain text grammar (packable natively);
+# supplier comments are excluded (they get phrases spliced in — see
+# _supplier_comment)
+TEXT_SPECS = {
+    ("part", "p_comment"): ("part.comment", 5, 22),
+    ("customer", "c_comment"): ("customer.comment", 29, 116),
+    ("orders", "o_comment"): ("orders.comment", 19, 78),
+    ("lineitem", "l_comment"): ("lineitem.comment", 10, 43),
+    ("partsupp", "ps_comment"): ("partsupp.comment", 49, 198),
+    ("nation", "n_comment"): ("nation.comment", 31, 114),
+    ("region", "r_comment"): ("region.comment", 31, 115),
+}
 
 
 _VCHARS = np.frombuffer(
@@ -273,6 +314,18 @@ class TpchGenerator:
         return off
 
     # ---- public API
+
+    def text_packed(self, table: str, column: str, start: int = 0,
+                    stop: Optional[int] = None):
+        """Packed (arena, offsets) for plain text-grammar columns via the
+        native extractor; None when not applicable/available."""
+        spec = TEXT_SPECS.get((table, column))
+        if spec is None:
+            return None
+        name, lo, hi = spec
+        n_total = self.num_rows(table)
+        stop = n_total if stop is None else min(stop, n_total)
+        return _text_column_packed(self._s(name), start, stop - start, lo, hi)
 
     def column(self, table: str, column: str, start: int = 0,
                stop: Optional[int] = None) -> np.ndarray:
