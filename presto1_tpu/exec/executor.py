@@ -54,11 +54,13 @@ class ExecError(Exception):
 class Executor:
     def __init__(self, catalog, compiled: bool = False,
                  record: Optional[Dict[Path, dict]] = None,
-                 scan_arrays: Optional[Dict[str, jnp.ndarray]] = None):
+                 scan_arrays: Optional[Dict[str, jnp.ndarray]] = None,
+                 stats=None):
         self.catalog = catalog
         self.compiled = compiled
         self.record: Dict[Path, dict] = record if record is not None else {}
         self.scan_arrays = scan_arrays
+        self.stats = stats
 
     # ---- helpers
 
@@ -106,7 +108,17 @@ class Executor:
 
     def execute(self, node: LogicalNode, path: Path = ()) -> RecordBatch:
         m = getattr(self, f"_x_{type(node).__name__}")
-        return m(node, path)
+        if self.stats is None or self.compiled:
+            return m(node, path)
+        import time as _time
+
+        t0 = _time.time()
+        out = m(node, path)
+        rows = out.num_rows if isinstance(out.num_rows, int) else int(out.num_rows)
+        # cumulative wall time (includes children) — rendered as such
+        self.stats.record(path, type(node).__name__, "",
+                          _time.time() - t0, rows, out.capacity())
+        return out
 
     def _x_Output(self, node: Output, path: Path) -> RecordBatch:
         b = self.execute(node.child, path + (0,))

@@ -30,7 +30,10 @@ import numpy as np
 from ..batch import Column, RecordBatch
 from ..types import BIGINT, DOUBLE, DecimalType, SqlType
 from .common import INT64_MAX, iota, pack_key_words
-from .segments import segment_bounds, sorted_segment_minmax, sorted_segment_sum
+from .segments import (
+    _scatter_ok, minmax_by_value_sort, segment_bounds,
+    sorted_segment_minmax_cpu, sorted_segment_sum,
+)
 
 
 @dataclass
@@ -86,7 +89,8 @@ def _exact_sum_f64(vals_i64, starts, ends):
     return shi.astype(jnp.float64) * 4294967296.0 + slo.astype(jnp.float64)
 
 
-def _eval_agg(spec: AggSpec, order, gid_sorted, starts, ends, max_groups: int):
+def _eval_agg(spec: AggSpec, order, gid_sorted, starts, ends, max_groups: int,
+              key_words=()):
     """One aggregate over the sorted arrangement. Returns Column (len max_groups)."""
     fn = spec.fn
     if fn == "count_star":
@@ -131,15 +135,19 @@ def _eval_agg(spec: AggSpec, order, gid_sorted, starts, ends, max_groups: int):
         return Column(s, out_t, validity=nonempty)
 
     if fn in ("min", "max"):
-        if vals.dtype.kind == "f":
-            sent = jnp.asarray(np.inf if fn == "min" else -np.inf, vals.dtype)
+        is_min = fn == "min"
+        if _scatter_ok():
+            if vals.dtype.kind == "f":
+                sent = jnp.asarray(np.inf if is_min else -np.inf, vals.dtype)
+            else:
+                info = np.iinfo(np.dtype(vals.dtype.name))
+                sent = jnp.asarray(info.max if is_min else info.min,
+                                   vals.dtype)
+            v = vals if valid is None else jnp.where(valid, vals, sent)
+            out = sorted_segment_minmax_cpu(v, gid_sorted, ends, is_min)
         else:
-            info = np.iinfo(np.dtype(vals.dtype.name))
-            sent = jnp.asarray(info.max if fn == "min" else info.min,
-                               vals.dtype)
-        if valid is not None:
-            vals = jnp.where(valid, vals, sent)
-        out = sorted_segment_minmax(vals, gid_sorted, ends, fn == "min")
+            out = minmax_by_value_sort(key_words, c.data, starts, ends,
+                                       is_min, valid=c.validity)
         out = jnp.where(nonempty, out, jnp.zeros((), out.dtype))
         return Column(out, t, validity=nonempty, dictionary=c.dictionary)
 
@@ -173,7 +181,8 @@ def group_aggregate(
         out[name] = c.gather(repr_idx, valid=None)
         # key columns of dead slots are garbage but num_rows masks them
     for spec in aggs:
-        col = _eval_agg(spec, order, gid_sorted, starts, ends, max_groups)
+        col = _eval_agg(spec, order, gid_sorted, starts, ends, max_groups,
+                        key_words=words)
         if col.validity is not None:
             col = col.with_data(col.data, col.validity & group_live)
         out[spec.name] = col

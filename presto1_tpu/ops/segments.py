@@ -1,21 +1,29 @@
 """Scatter-free segmented reductions over sorted group ids.
 
 XLA:TPU lowers scatter (the backbone of ``jax.ops.segment_sum``) to a
-mostly-serial loop, which is catastrophic at query row counts.  Since the
-grouping engine sorts rows by key anyway, every segmented reduction can be
-expressed with the TPU-friendly trio instead:
+mostly-serial loop, which is catastrophic at query row counts (measured:
+one 8M-row segment_sum > 9 minutes).  Since the grouping engine sorts rows
+by key anyway, every segmented reduction is expressed with TPU-friendly
+dense primitives instead:
 
-* sums/counts — one ``cumsum`` + prefix-difference gathers at segment ends
-* min/max    — one segmented ``associative_scan`` + gathers at ends
 * segment bounds — vectorized ``searchsorted`` of the sorted gid array
+* sums/counts — two-level block prefix sums: per-block partial sums, a
+  tiny cumsum over blocks, and an intra-block masked row-sum gathered at
+  each segment boundary.  No full-length cumsum, no scatter.
+* min/max — an extra key-sort with the value as the trailing sort key:
+  the segment's min sits at its start, its max at its end.
 
-Everything is dense vector work; no scatters anywhere.
+On CPU the scatter/nonzero lowerings are fast and simpler, so they are
+kept behind a trace-time backend check.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+_BLK = 128  # capacities are always multiples of 128 (batch.round_capacity)
 
 
 def _scatter_ok() -> bool:
@@ -32,40 +40,63 @@ def segment_bounds(gid_sorted: jnp.ndarray, num_segments: int):
     return starts, ends
 
 
+def _prefix_at(block: jnp.ndarray, bcum: jnp.ndarray, pos: jnp.ndarray):
+    """Exclusive prefix sum of the flattened block matrix at positions."""
+    nb = block.shape[0]
+    b = pos // _BLK
+    r = pos % _BLK
+    base = jnp.where(b > 0, jnp.take(bcum, jnp.clip(b - 1, 0, nb - 1)), 0)
+    rows = jnp.take(block, jnp.clip(b, 0, nb - 1), axis=0)  # [G, BLK]
+    intra = jnp.sum(
+        jnp.where(jnp.arange(_BLK)[None, :] < r[:, None], rows, 0), axis=1)
+    return base + intra
+
+
 def sorted_segment_sum(vals_sorted: jnp.ndarray, starts, ends) -> jnp.ndarray:
-    """Sum per segment via prefix-sum differences (no scatter)."""
-    ps = jnp.cumsum(vals_sorted)
+    """Sum per segment (rows sorted by segment)."""
     n = vals_sorted.shape[0]
-    end_v = jnp.where(ends > 0, jnp.take(ps, jnp.clip(ends - 1, 0, n - 1)), 0)
-    start_v = jnp.where(starts > 0,
-                        jnp.take(ps, jnp.clip(starts - 1, 0, n - 1)), 0)
-    return jnp.where(ends > starts, end_v - start_v,
-                     jnp.zeros((), vals_sorted.dtype))
+    if _scatter_ok() or n % _BLK != 0:
+        ps = jnp.cumsum(vals_sorted)
+        end_v = jnp.where(ends > 0,
+                          jnp.take(ps, jnp.clip(ends - 1, 0, n - 1)), 0)
+        start_v = jnp.where(starts > 0,
+                            jnp.take(ps, jnp.clip(starts - 1, 0, n - 1)), 0)
+        return jnp.where(ends > starts, end_v - start_v,
+                         jnp.zeros((), vals_sorted.dtype))
+    block = vals_sorted.reshape(n // _BLK, _BLK)
+    bcum = jnp.cumsum(jnp.sum(block, axis=1))
+    out = _prefix_at(block, bcum, ends) - _prefix_at(block, bcum, starts)
+    return out.astype(vals_sorted.dtype)
 
 
-def sorted_segment_minmax(vals_sorted: jnp.ndarray, gid_sorted: jnp.ndarray,
-                          ends, is_min: bool) -> jnp.ndarray:
-    """Min/max per segment via a segmented associative scan.
+def minmax_by_value_sort(key_words, vals: jnp.ndarray, starts, ends,
+                         is_min: bool, valid=None) -> jnp.ndarray:
+    """Min/max per segment via one extra sort with the value as the last
+    key: ascending within each segment, so min = value at start and
+    max = value at end-1.  ``vals`` are in ORIGINAL row order (same order
+    as the key words).  Invalid rows get a sentinel that sorts away from
+    the answer."""
+    n = vals.shape[0]
+    if vals.dtype.kind == "f":
+        sent = jnp.asarray(np.inf if is_min else -np.inf, vals.dtype)
+    else:
+        info = np.iinfo(np.dtype(vals.dtype.name))
+        sent = jnp.asarray(info.max if is_min else info.min, vals.dtype)
+    v = vals if valid is None else jnp.where(valid, vals, sent)
+    out = jax.lax.sort(tuple(key_words) + (v,), num_keys=len(key_words) + 1)
+    v_sorted = out[-1]
+    if is_min:
+        return jnp.take(v_sorted, jnp.clip(starts, 0, n - 1))
+    return jnp.take(v_sorted, jnp.clip(ends - 1, 0, n - 1))
 
-    The combiner carries (gid, acc); crossing a segment boundary resets the
-    accumulator — associative, so it runs as a parallel scan.
-    """
+
+def sorted_segment_minmax_cpu(vals_sorted: jnp.ndarray,
+                              gid_sorted: jnp.ndarray, ends,
+                              is_min: bool) -> jnp.ndarray:
     num_segments = ends.shape[0]
-    if _scatter_ok():
-        op = jax.ops.segment_min if is_min else jax.ops.segment_max
-        out = op(vals_sorted, gid_sorted, num_segments=num_segments,
-                 indices_are_sorted=True)
-        return out
-    op = jnp.minimum if is_min else jnp.maximum
-
-    def comb(a, b):
-        ga, ma = a
-        gb, mb = b
-        return gb, jnp.where(ga == gb, op(ma, mb), mb)
-
-    _, acc = jax.lax.associative_scan(comb, (gid_sorted, vals_sorted))
-    n = vals_sorted.shape[0]
-    return jnp.take(acc, jnp.clip(ends - 1, 0, n - 1))
+    op = jax.ops.segment_min if is_min else jax.ops.segment_max
+    return op(vals_sorted, gid_sorted, num_segments=num_segments,
+              indices_are_sorted=True)
 
 
 def compact_indices(mask: jnp.ndarray, capacity: int):

@@ -1,0 +1,240 @@
+"""Coordinator HTTP server: the statement protocol.
+
+A compact re-design of the reference's client protocol surface
+(``dispatcher/QueuedStatementResource.java:93`` POST /v1/statement,
+``server/protocol/ExecutingStatementResource.java:143`` paged GETs with
+nextUri, ``server/QueryResource.java`` query info): stdlib HTTP server, a
+query manager with the QUEUED→RUNNING→FINISHED/FAILED state machine
+(``execution/QueryStateMachine.java``), token-paged JSON results, and
+cancellation via DELETE.
+
+Single-process by design: on TPU the "workers" are mesh devices driven by
+XLA collectives, so the coordinator/worker split of the reference
+collapses; multi-host DCN dispatch attaches here in a later round.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import traceback
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+from ..exec.engine import Engine
+from ..exec.session import Session
+
+PAGE_ROWS = 1000
+
+
+class QueryState:
+    QUEUED = "QUEUED"
+    RUNNING = "RUNNING"
+    FINISHED = "FINISHED"
+    FAILED = "FAILED"
+    CANCELED = "CANCELED"
+
+
+class ManagedQuery:
+    def __init__(self, query_id: str, sql: str, session: Session):
+        self.id = query_id
+        self.sql = sql
+        self.session = session
+        self.state = QueryState.QUEUED
+        self.error: Optional[str] = None
+        self.columns: List[dict] = []
+        self.rows: List[list] = []
+        self.created = time.time()
+        self.wall_s: Optional[float] = None
+        self.lock = threading.Lock()
+
+    def info(self) -> dict:
+        return {
+            "id": self.id,
+            "state": self.state,
+            "query": self.sql,
+            "error": self.error,
+            "wall_s": self.wall_s,
+            "rows": len(self.rows) if self.state == QueryState.FINISHED else None,
+        }
+
+
+class QueryManager:
+    """Owns query lifecycle; executes on a small pool (admission control —
+    the minimal stand-in for the reference's resource groups,
+    ``execution/resourcegroups/InternalResourceGroup.java:77``)."""
+
+    def __init__(self, engine: Engine, max_concurrency: int = 4):
+        self.engine = engine
+        self.queries: Dict[str, ManagedQuery] = {}
+        self.pool = ThreadPoolExecutor(max_workers=max_concurrency)
+
+    def submit(self, sql: str, session: Session) -> ManagedQuery:
+        q = ManagedQuery(uuid.uuid4().hex[:16], sql, session)
+        self.queries[q.id] = q
+        self.pool.submit(self._run, q)
+        return q
+
+    def _run(self, q: ManagedQuery) -> None:
+        with q.lock:
+            if q.state == QueryState.CANCELED:
+                return
+            q.state = QueryState.RUNNING
+        t0 = time.time()
+        try:
+            out = self.engine.sql(q.sql)
+            n = out.num_rows if isinstance(out.num_rows, int) else int(out.num_rows)
+            decoded = {name: c.decode(n) for name, c in out.columns.items()}
+            q.columns = [
+                {"name": name, "type": str(c.type)}
+                for name, c in out.columns.items()
+            ]
+            q.rows = [
+                [_json_value(decoded[name][i]) for name in decoded]
+                for i in range(n)
+            ]
+            q.wall_s = time.time() - t0
+            with q.lock:
+                if q.state != QueryState.CANCELED:
+                    q.state = QueryState.FINISHED
+        except Exception as e:  # noqa: BLE001 — reported to the client
+            q.error = f"{type(e).__name__}: {e}"
+            q.wall_s = time.time() - t0
+            traceback.print_exc()
+            with q.lock:
+                q.state = QueryState.FAILED
+
+    def cancel(self, query_id: str) -> bool:
+        q = self.queries.get(query_id)
+        if q is None:
+            return False
+        with q.lock:
+            if q.state in (QueryState.QUEUED, QueryState.RUNNING):
+                q.state = QueryState.CANCELED
+        return True
+
+
+def _json_value(v):
+    import numpy as np
+
+    if v is None:
+        return None
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, np.datetime64):
+        return str(v)
+    if isinstance(v, (np.str_, str)):
+        return str(v)
+    if isinstance(v, (np.bool_, bool)):
+        return bool(v)
+    return v
+
+
+class CoordinatorServer:
+    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0):
+        self.manager = QueryManager(engine)
+        manager = self.manager
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):  # quiet
+                pass
+
+            def _send(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                if self.path != "/v1/statement":
+                    self._send(404, {"error": "not found"})
+                    return
+                length = int(self.headers.get("Content-Length", "0"))
+                sql = self.rfile.read(length).decode()
+                session = Session(
+                    user=self.headers.get("X-Presto1-User", "anonymous"),
+                    schema=self.headers.get("X-Presto1-Schema", "tiny"))
+                q = manager.submit(sql, session)
+                self._send(200, {
+                    "id": q.id,
+                    "stats": {"state": q.state},
+                    "nextUri": f"/v1/statement/executing/{q.id}/0",
+                })
+
+            def do_GET(self):
+                parts = self.path.strip("/").split("/")
+                if parts[:3] == ["v1", "statement", "executing"] and len(parts) == 5:
+                    qid, token = parts[3], int(parts[4])
+                    q = manager.queries.get(qid)
+                    if q is None:
+                        self._send(404, {"error": "unknown query"})
+                        return
+                    if q.state in (QueryState.QUEUED, QueryState.RUNNING):
+                        self._send(200, {
+                            "id": q.id, "stats": {"state": q.state},
+                            "nextUri": f"/v1/statement/executing/{qid}/{token}",
+                        })
+                        return
+                    if q.state in (QueryState.FAILED, QueryState.CANCELED):
+                        self._send(200, {
+                            "id": q.id,
+                            "stats": {"state": q.state},
+                            "error": {"message": q.error or q.state},
+                        })
+                        return
+                    start = token * PAGE_ROWS
+                    page = q.rows[start:start + PAGE_ROWS]
+                    payload = {
+                        "id": q.id,
+                        "stats": {"state": q.state, "wall_s": q.wall_s},
+                        "columns": q.columns,
+                        "data": page,
+                    }
+                    if start + PAGE_ROWS < len(q.rows):
+                        payload["nextUri"] = (
+                            f"/v1/statement/executing/{qid}/{token + 1}")
+                    self._send(200, payload)
+                    return
+                if parts[:2] == ["v1", "query"] and len(parts) == 3:
+                    q = manager.queries.get(parts[2])
+                    if q is None:
+                        self._send(404, {"error": "unknown query"})
+                        return
+                    self._send(200, q.info())
+                    return
+                if parts == ["v1", "info"]:
+                    self._send(200, {"nodeVersion": "presto1-tpu-0.1",
+                                     "coordinator": True})
+                    return
+                self._send(404, {"error": "not found"})
+
+            def do_DELETE(self):
+                parts = self.path.strip("/").split("/")
+                if parts[:2] == ["v1", "statement"] and len(parts) == 3:
+                    ok = manager.cancel(parts[2])
+                    self._send(200 if ok else 404, {"canceled": ok})
+                    return
+                self._send(404, {"error": "not found"})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> "CoordinatorServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()

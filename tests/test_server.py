@@ -1,0 +1,63 @@
+"""Client↔coordinator protocol tests (statement protocol over localhost,
+the reference's TestQueuedStatementResource / client-protocol coverage)."""
+
+import pytest
+
+from presto1_tpu.client.http_client import Client, QueryFailed
+from presto1_tpu.exec.catalog import TpchCatalog
+from presto1_tpu.exec.engine import Engine
+from presto1_tpu.server.coordinator import CoordinatorServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    engine = Engine(TpchCatalog(sf=0.001))
+    srv = CoordinatorServer(engine).start()
+    yield srv
+    srv.stop()
+
+
+def test_statement_roundtrip(server):
+    c = Client(f"http://127.0.0.1:{server.port}")
+    cols, rows = c.execute(
+        "select n_name, n_nationkey from nation order by n_nationkey limit 3")
+    assert [col["name"] for col in cols] == ["n_name", "n_nationkey"]
+    assert rows == [["ALGERIA", 0], ["ARGENTINA", 1], ["BRAZIL", 2]]
+
+
+def test_statement_aggregation(server):
+    c = Client(f"http://127.0.0.1:{server.port}")
+    cols, rows = c.execute("select count(*) c from customer")
+    assert rows[0][0] > 0
+
+
+def test_statement_failure(server):
+    c = Client(f"http://127.0.0.1:{server.port}")
+    with pytest.raises(QueryFailed):
+        c.execute("select bogus_column from nation")
+
+
+def test_paged_results(server):
+    c = Client(f"http://127.0.0.1:{server.port}")
+    cols, rows = c.execute("select l_orderkey from lineitem")
+    assert len(rows) > 1000  # > PAGE_ROWS -> exercises nextUri paging
+    assert rows[0][0] >= 1
+
+
+def test_explain_analyze_render():
+    engine = Engine(TpchCatalog(sf=0.001))
+    txt = engine.explain_analyze(
+        "select count(*) from lineitem where l_quantity < 10")
+    assert "Aggregate" in txt and "ms" in txt
+
+
+def test_events():
+    from presto1_tpu.exec.events import EventBus
+
+    bus = EventBus()
+    seen = []
+    bus.register(seen.append)
+    engine = Engine(TpchCatalog(sf=0.001), events=bus)
+    engine.sql("select 1 x from region limit 1")
+    kinds = [e.kind for e in seen]
+    assert kinds == ["created", "completed"]
