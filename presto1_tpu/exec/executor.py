@@ -55,12 +55,15 @@ class Executor:
     def __init__(self, catalog, compiled: bool = False,
                  record: Optional[Dict[Path, dict]] = None,
                  scan_arrays: Optional[Dict[str, jnp.ndarray]] = None,
-                 stats=None):
+                 stats=None, stubs: Optional[Dict[Path, RecordBatch]] = None):
         self.catalog = catalog
         self.compiled = compiled
         self.record: Dict[Path, dict] = record if record is not None else {}
         self.scan_arrays = scan_arrays
         self.stats = stats
+        self.stubs = stubs or {}
+        self.capture_paths: set = set()
+        self.captured: Dict[Path, RecordBatch] = {}
 
     # ---- helpers
 
@@ -107,17 +110,22 @@ class Executor:
     # ---- dispatch
 
     def execute(self, node: LogicalNode, path: Path = ()) -> RecordBatch:
+        if path in self.stubs:  # fragment input boundary
+            return self.stubs[path]
         m = getattr(self, f"_x_{type(node).__name__}")
         if self.stats is None or self.compiled:
-            return m(node, path)
-        import time as _time
+            out = m(node, path)
+        else:
+            import time as _time
 
-        t0 = _time.time()
-        out = m(node, path)
-        rows = out.num_rows if isinstance(out.num_rows, int) else int(out.num_rows)
-        # cumulative wall time (includes children) — rendered as such
-        self.stats.record(path, type(node).__name__, "",
-                          _time.time() - t0, rows, out.capacity())
+            t0 = _time.time()
+            out = m(node, path)
+            rows = out.num_rows if isinstance(out.num_rows, int) else int(out.num_rows)
+            # cumulative wall time (includes children) — rendered as such
+            self.stats.record(path, type(node).__name__, "",
+                              _time.time() - t0, rows, out.capacity())
+        if path in self.capture_paths:
+            self.captured[path] = out
         return out
 
     def _x_Output(self, node: Output, path: Path) -> RecordBatch:
@@ -351,50 +359,134 @@ class Executor:
         return self._shrink(limit_batch(child, node.n))
 
 
-class CompiledQuery:
-    """A query pipeline traced into one XLA program.
+def _fragment_roots(node: LogicalNode, path: Path = ()) -> List[Path]:
+    """Fragment boundaries: every heavy operator roots its own compiled
+    program (the PlanFragmenter analog — reference
+    ``sql/planner/PlanFragmenter.java:106`` cuts at exchanges; we cut at
+    the operators whose fused modules would grow unboundedly)."""
+    from ..sql.logical import Aggregate as _Agg, Join as _Join, Sort as _Sort
 
-    The reference compiles expressions per query into JVM bytecode and
-    interprets the operator chain; here the entire chain (expressions AND
-    operators) is one fused, compiler-scheduled program.
+    out = [path] if (path == () or isinstance(node, (_Agg, _Join, _Sort))) \
+        else []
+    for i, c in enumerate(node.children):
+        out += _fragment_roots(c, path + (i,))
+    return out
+
+
+def _node_at(plan: LogicalNode, path: Path) -> LogicalNode:
+    node = plan
+    for i in path:
+        node = node.children[i]
+    return node
+
+
+def _k(path: Path, name: str, kind: str) -> str:
+    return f"{'/'.join(map(str, path))}|{name}|{kind}"
+
+
+class CompiledQuery:
+    """A query pipeline compiled into a handful of XLA programs.
+
+    The plan is cut into fragments at heavy-operator boundaries
+    (_fragment_roots); each fragment traces into one jitted program, and
+    fragments chain on-device (counts stay device scalars, no host syncs
+    between them).  granularity='single' fuses the whole pipeline into one
+    program instead — maximal fusion, but very large modules can outgrow
+    the TPU compiler.
     """
 
-    def __init__(self, catalog, plan: LogicalNode):
+    def __init__(self, catalog, plan: LogicalNode,
+                 granularity: str = "fragment"):
         self.catalog = catalog
         self.plan = plan
+
+        roots = sorted(set(_fragment_roots(plan)), key=len, reverse=True) \
+            if granularity == "fragment" else [()]
         discoverer = Executor(catalog)
-        self._discovery = discoverer.execute(plan)
+        discoverer.capture_paths = set(roots)
+        discoverer.execute(plan)
         self.record = discoverer.record
         self.inputs = discoverer.scan_inputs(plan)
-        self._names: List[str] = list(self._discovery.columns.keys())
-        self._meta = {
-            n: (c.type, c.dictionary)
-            for n, c in self._discovery.columns.items()
-        }
+        self._meta: Dict[Path, list] = {}
+        for r in roots:
+            b = discoverer.captured[r]
+            self._meta[r] = [
+                (n, c.type, c.dictionary, c.validity is not None)
+                for n, c in b.columns.items()
+            ]
 
-        def fn(arrays: Dict[str, jnp.ndarray]):
-            ex = Executor(catalog, compiled=True, record=self.record,
-                          scan_arrays=arrays)
-            out = ex.execute(plan)
-            data = {n: c.data for n, c in out.columns.items()}
-            validity = {n: c.validity for n, c in out.columns.items()
-                        if c.validity is not None}
-            return data, validity, out.num_rows
+        # child fragments of each root = roots whose longest proper prefix
+        # root is this one
+        def parent_root(r: Path):
+            for plen in range(len(r) - 1, -1, -1):
+                if r[:plen] in self._meta and r[:plen] != r:
+                    return r[:plen]
+            return None
 
-        self._jfn = jax.jit(fn)
+        children: Dict[Path, List[Path]] = {r: [] for r in roots}
+        for r in roots:
+            p = parent_root(r)
+            if p is not None:
+                children[p].append(r)
+
+        self._stages = []
+        for root in roots:  # deepest-first (sorted by len desc)
+            node = _node_at(plan, root)
+            child_roots = children[root]
+            meta = self._meta
+
+            def make_fn(root, node, child_roots):
+                def fn(scan_arrays, frag_inputs):
+                    stubs = {}
+                    for cr in child_roots:
+                        cols = {}
+                        for (nm, t, dic, has_v) in meta[cr]:
+                            cols[nm] = Column(
+                                frag_inputs[_k(cr, nm, "d")], t,
+                                validity=frag_inputs.get(_k(cr, nm, "v")),
+                                dictionary=dic)
+                        stubs[cr] = RecordBatch(
+                            cols, frag_inputs[_k(cr, "", "n")])
+                    ex = Executor(self.catalog, compiled=True,
+                                  record=self.record,
+                                  scan_arrays=scan_arrays, stubs=stubs)
+                    out = ex.execute(node, path=root)
+                    data = {n: c.data for n, c in out.columns.items()}
+                    validity = {n: c.validity
+                                for n, c in out.columns.items()
+                                if c.validity is not None}
+                    return data, validity, out.num_rows
+
+                return fn
+
+            self._stages.append(
+                (root, child_roots, jax.jit(make_fn(root, node, child_roots))))
+
+    def _run(self):
+        results: Dict[Path, tuple] = {}
+        for root, child_roots, jfn in self._stages:
+            frag_inputs = {}
+            for cr in child_roots:
+                data, validity, n = results[cr]
+                for nm, _, _, _ in self._meta[cr]:
+                    frag_inputs[_k(cr, nm, "d")] = data[nm]
+                    if nm in validity:
+                        frag_inputs[_k(cr, nm, "v")] = validity[nm]
+                frag_inputs[_k(cr, "", "n")] = n
+            results[root] = jfn(self.inputs, frag_inputs)
+        return results[()]
 
     def __call__(self) -> RecordBatch:
-        data, validity, num_rows = self._jfn(self.inputs)
+        data, validity, num_rows = self._run()
         cols = {
-            n: Column(data[n], self._meta[n][0], validity=validity.get(n),
-                      dictionary=self._meta[n][1])
-            for n in self._names
+            nm: Column(data[nm], t, validity=validity.get(nm), dictionary=dic)
+            for (nm, t, dic, _) in self._meta[()]
         }
         n = int(num_rows) if not isinstance(num_rows, int) else num_rows
         return RecordBatch(cols, n)
 
     def block_run(self):
         """Execute and block until complete (for benchmarking)."""
-        data, validity, num_rows = self._jfn(self.inputs)
+        data, validity, num_rows = self._run()
         jax.block_until_ready(data)
         return num_rows
