@@ -32,7 +32,7 @@ from ..types import BIGINT, DOUBLE, DecimalType, SqlType
 from .common import INT64_MAX, iota, pack_key_words
 from .segments import (
     _scatter_ok, minmax_by_value_sort, segment_bounds,
-    sorted_segment_minmax_cpu, sorted_segment_sum,
+    sorted_segment_minmax_cpu, sorted_segment_sum, sorted_segment_sum_multi,
 )
 
 
@@ -89,69 +89,133 @@ def _exact_sum_f64(vals_i64, starts, ends):
     return shi.astype(jnp.float64) * 4294967296.0 + slo.astype(jnp.float64)
 
 
-def _eval_agg(spec: AggSpec, order, gid_sorted, starts, ends, max_groups: int,
-              key_words=()):
-    """One aggregate over the sorted arrangement. Returns Column (len max_groups)."""
-    fn = spec.fn
-    if fn == "count_star":
-        return Column((ends - starts).astype(jnp.int64), BIGINT)
+def _assemble_aggs(aggs, order, gid_sorted, starts, ends, max_groups,
+                   key_words):
+    """Evaluate all aggregates with ONE batched segmented-sum pass.
 
-    c = spec.input
-    vals = jnp.take(c.data, order, mode="clip")
-    valid = (jnp.take(c.validity, order, mode="clip")
-             if c.validity is not None else None)
+    Every sum-like reduction (sums, counts, avg numerators/denominators,
+    32-bit limbs of overflow-proof sums) becomes a column of a single
+    [n, k] matrix reduced by sorted_segment_sum_multi; min/max use the
+    value-trailing key sort.  This keeps the XLA module small (one shared
+    reduction) and the HBM traffic minimal.
+    """
+    base_cnt = (ends - starts).astype(jnp.int64)
+    int_cols = []    # int64 sum requests (exact)
+    float_cols = []  # float64 sum requests
+    plans = []       # per agg: (spec, kind, payload)
 
-    if valid is None:
-        cnt = (ends - starts).astype(jnp.int64)
-    else:
-        cnt = sorted_segment_sum(valid.astype(jnp.int64), starts, ends)
-    nonempty = cnt > 0
+    def req(col):
+        int_cols.append(col.astype(jnp.int64))
+        return len(int_cols) - 1
 
-    if fn == "count":
-        return Column(cnt, BIGINT)
+    def freq(col):
+        float_cols.append(col.astype(jnp.float64))
+        return len(float_cols) - 1
 
-    t = c.type
-    out_t = spec.output_type()
-
-    if fn in ("sum", "avg"):
+    for spec in aggs:
+        fn = spec.fn
+        if fn == "count_star":
+            plans.append((spec, "count_star", None))
+            continue
+        c = spec.input
+        valid = c.validity
+        cnt_ix = None
+        if valid is not None:
+            cnt_ix = req(valid.astype(jnp.int64))
+        if fn == "count":
+            plans.append((spec, "count", cnt_ix))
+            continue
+        if fn in ("min", "max"):
+            plans.append((spec, fn, None))
+            continue
+        # sum / avg
+        t = c.type
+        vals = c.data
         if valid is not None:
             vals = jnp.where(valid, vals, jnp.zeros((), vals.dtype))
         if t.kind == "double":
-            s = sorted_segment_sum(vals, starts, ends)
-            if fn == "avg":
-                s = s / jnp.maximum(cnt, 1)
-            return Column(s, DOUBLE, validity=nonempty)
+            ix = freq(vals)
+            plans.append((spec, "fsum", (ix, cnt_ix)))
+            continue
         vals64 = vals.astype(jnp.int64)
-        if fn == "avg":
-            total = _exact_sum_f64(vals64, starts, ends)
-            scale = 10 ** t.scale if t.kind == "decimal" else 1  # type: ignore[attr-defined]
-            out = total / (jnp.maximum(cnt, 1) * scale)
-            return Column(out, DOUBLE, validity=nonempty)
-        if out_t.kind == "double":  # wide-scale decimal: exact limbs -> f64
-            total = _exact_sum_f64(vals64, starts, ends)
-            scale = 10 ** t.scale  # type: ignore[attr-defined]
-            return Column(total / scale, DOUBLE, validity=nonempty)
-        s = sorted_segment_sum(vals64, starts, ends)
-        return Column(s, out_t, validity=nonempty)
-
-    if fn in ("min", "max"):
-        is_min = fn == "min"
-        if _scatter_ok():
-            if vals.dtype.kind == "f":
-                sent = jnp.asarray(np.inf if is_min else -np.inf, vals.dtype)
-            else:
-                info = np.iinfo(np.dtype(vals.dtype.name))
-                sent = jnp.asarray(info.max if is_min else info.min,
-                                   vals.dtype)
-            v = vals if valid is None else jnp.where(valid, vals, sent)
-            out = sorted_segment_minmax_cpu(v, gid_sorted, ends, is_min)
+        out_t = spec.output_type()
+        if fn == "avg" or out_t.kind == "double":
+            lo_ix = req(vals64 & _LIMB_MASK)
+            hi_ix = req(vals64 >> 32)
+            plans.append((spec, "limb", (lo_ix, hi_ix, cnt_ix)))
         else:
-            out = minmax_by_value_sort(key_words, c.data, starts, ends,
-                                       is_min, valid=c.validity)
-        out = jnp.where(nonempty, out, jnp.zeros((), out.dtype))
-        return Column(out, t, validity=nonempty, dictionary=c.dictionary)
+            ix = req(vals64)
+            plans.append((spec, "isum", (ix, cnt_ix)))
 
-    raise NotImplementedError(f"aggregate {fn}")
+    sums = fsums = None
+    if int_cols:
+        V = jnp.stack(int_cols, axis=1)
+        V_sorted = jnp.take(V, order, axis=0, mode="clip")
+        sums = sorted_segment_sum_multi(V_sorted, starts, ends)
+    if float_cols:
+        F = jnp.stack(float_cols, axis=1)
+        F_sorted = jnp.take(F, order, axis=0, mode="clip")
+        fsums = sorted_segment_sum_multi(F_sorted, starts, ends)
+
+    def cnt_of(cnt_ix):
+        if cnt_ix is None:
+            return base_cnt
+        return sums[:, cnt_ix].astype(jnp.int64)
+
+    out = {}
+    for spec, kind, payload in plans:
+        if kind == "count_star":
+            out[spec.name] = Column(base_cnt, BIGINT)
+            continue
+        if kind == "count":
+            out[spec.name] = Column(cnt_of(payload), BIGINT)
+            continue
+        if kind in ("min", "max"):
+            c = spec.input
+            cnt = base_cnt if c.validity is None else None
+            if cnt is None:
+                # need the count column: recompute via value-sort validity
+                cnt = sorted_segment_sum(
+                    jnp.take(c.validity.astype(jnp.int64), order,
+                             mode="clip"), starts, ends)
+            nonempty = cnt > 0
+            v = minmax_by_value_sort(key_words, c.data, starts, ends,
+                                     kind == "min", valid=c.validity)
+            v = jnp.where(nonempty, v, jnp.zeros((), v.dtype))
+            out[spec.name] = Column(v, c.type, validity=nonempty,
+                                    dictionary=c.dictionary)
+            continue
+        t = spec.input.type
+        out_t = spec.output_type()
+        if kind == "fsum":
+            ix, cnt_ix = payload
+            cnt = cnt_of(cnt_ix)
+            nonempty = cnt > 0
+            s = fsums[:, ix]
+            if spec.fn == "avg":
+                s = s / jnp.maximum(cnt, 1)
+            out[spec.name] = Column(s, DOUBLE, validity=nonempty)
+            continue
+        if kind == "limb":
+            lo_ix, hi_ix, cnt_ix = payload
+            cnt = cnt_of(cnt_ix)
+            nonempty = cnt > 0
+            total = (sums[:, hi_ix].astype(jnp.float64) * 4294967296.0
+                     + sums[:, lo_ix].astype(jnp.float64))
+            scale = 10 ** t.scale if t.kind == "decimal" else 1  # type: ignore[attr-defined]
+            if spec.fn == "avg":
+                v = total / (jnp.maximum(cnt, 1) * scale)
+            else:
+                v = total / scale
+            out[spec.name] = Column(v, DOUBLE, validity=nonempty)
+            continue
+        # isum
+        ix, cnt_ix = payload
+        cnt = cnt_of(cnt_ix)
+        nonempty = cnt > 0
+        out[spec.name] = Column(sums[:, ix].astype(jnp.int64), out_t,
+                                validity=nonempty)
+    return out
 
 
 def group_aggregate(
@@ -180,12 +244,12 @@ def group_aggregate(
     for name, c in list(keys) + list(carry):
         out[name] = c.gather(repr_idx, valid=None)
         # key columns of dead slots are garbage but num_rows masks them
-    for spec in aggs:
-        col = _eval_agg(spec, order, gid_sorted, starts, ends, max_groups,
-                        key_words=words)
+    agg_out = _assemble_aggs(aggs, order, gid_sorted, starts, ends,
+                             max_groups, words)
+    for name, col in agg_out.items():
         if col.validity is not None:
             col = col.with_data(col.data, col.validity & group_live)
-        out[spec.name] = col
+        out[name] = col
     return RecordBatch(out, num_groups)
 
 

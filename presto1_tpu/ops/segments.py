@@ -69,6 +69,38 @@ def sorted_segment_sum(vals_sorted: jnp.ndarray, starts, ends) -> jnp.ndarray:
     return out.astype(vals_sorted.dtype)
 
 
+def _prefix_at_multi(block: jnp.ndarray, bcum: jnp.ndarray, pos: jnp.ndarray):
+    """Exclusive prefix at positions, for [nb, BLK, k] blocks."""
+    nb = block.shape[0]
+    b = pos // _BLK
+    r = pos % _BLK
+    base = jnp.where((b > 0)[:, None],
+                     jnp.take(bcum, jnp.clip(b - 1, 0, nb - 1), axis=0), 0)
+    rows = jnp.take(block, jnp.clip(b, 0, nb - 1), axis=0)  # [G, BLK, k]
+    sel = (jnp.arange(_BLK)[None, :, None] < r[:, None, None])
+    intra = jnp.sum(jnp.where(sel, rows, 0), axis=1)
+    return base + intra
+
+
+def sorted_segment_sum_multi(vals_sorted: jnp.ndarray, starts,
+                             ends) -> jnp.ndarray:
+    """Segmented sums for k columns at once: vals_sorted [n, k] -> [G, k].
+
+    One two-level prefix pass shared by every aggregate in the query —
+    both fewer HBM passes and a much smaller XLA module than per-column
+    reductions."""
+    n, k = vals_sorted.shape
+    if _scatter_ok() or n % _BLK != 0:
+        ps = jnp.cumsum(vals_sorted, axis=0)
+        zero = jnp.zeros((1, k), ps.dtype)
+        psz = jnp.concatenate([zero, ps], axis=0)  # psz[i] = sum of first i
+        return jnp.take(psz, ends, axis=0) - jnp.take(psz, starts, axis=0)
+    block = vals_sorted.reshape(n // _BLK, _BLK, k)
+    bcum = jnp.cumsum(jnp.sum(block, axis=1), axis=0)  # [nb, k]
+    return (_prefix_at_multi(block, bcum, ends)
+            - _prefix_at_multi(block, bcum, starts))
+
+
 def minmax_by_value_sort(key_words, vals: jnp.ndarray, starts, ends,
                          is_min: bool, valid=None) -> jnp.ndarray:
     """Min/max per segment via one extra sort with the value as the last
