@@ -80,3 +80,79 @@ class Engine:
         from .executor import CompiledQuery
 
         return CompiledQuery(self.catalog, self.plan(sql))
+
+    def sql_distributed(self, sql: str, n_devices: int = 0):
+        """Execute with the aggregation stage sharded over the device mesh
+        (partial→final split, the FIXED_HASH exchange analog).  Falls back
+        to single-device execution when the plan shape isn't yet covered
+        by the distributed path."""
+        import jax
+
+        from ..batch import round_capacity
+        from ..expr.eval import eval_expr
+        from ..ops.common import key_ranges
+        from ..ops.filter import filter_mask
+        from ..parallel.dist_agg import distributed_group_aggregate
+        from ..parallel.distributed import make_mesh
+        from ..sql.logical import Aggregate, Filter as LFilter, Scan
+
+        plan = self.plan(sql)
+
+        def find(node, path=()):
+            if isinstance(node, Aggregate) and node.group:
+                ch = node.child
+                if isinstance(ch, Scan):
+                    return path, node, None, ch, path + (0,)
+                if isinstance(ch, LFilter) and isinstance(ch.child, Scan):
+                    return path, node, ch, ch.child, path + (0, 0)
+                return None
+            for i, c in enumerate(node.children):
+                r = find(c, path + (i,))
+                if r:
+                    return r
+            return None
+
+        found = find(plan)
+        if found is None:
+            return self.sql(sql)
+        agg_path, agg, filt, scan, scan_path = found
+
+        ex = Executor(self.catalog)
+        below = ex.execute(scan, scan_path)
+        mask = None
+        if filt is not None:
+            from ..expr.eval import bind_string_ops
+
+            dicts = {n: c.dictionary for n, c in below.columns.items()
+                     if c.dictionary is not None}
+            mask = filter_mask(bind_string_ops(filt.predicate, dicts), below)
+        from ..ops.hashagg import AggSpec
+
+        dicts = {n: c.dictionary for n, c in below.columns.items()
+                 if c.dictionary is not None}
+        from ..expr.eval import bind_string_ops
+
+        specs = [
+            AggSpec(a.fn,
+                    None if a.arg is None
+                    else eval_expr(bind_string_ops(a.arg, dicts), below),
+                    a.symbol)
+            for a in agg.aggs
+        ]
+        primary = agg.primary or agg.group
+        carry = [s for s in agg.group if s not in primary]
+        key_cols = [below[s] for s in primary]
+        ranges = key_ranges(key_cols, below.num_rows)
+        span = 1
+        for lo, hi in ranges:
+            span *= (hi - lo + 2)
+            if span > below.num_rows:
+                break
+        max_groups = round_capacity(min(below.num_rows, span))
+        mesh = make_mesh(n_devices or len(jax.devices()))
+        columns = {s: below[s] for s in agg.group}
+        out = distributed_group_aggregate(
+            mesh, primary, columns, specs, below.num_rows, ranges,
+            max_groups, mask=mask, carry_names=carry)
+        final = Executor(self.catalog, stubs={agg_path: out})
+        return final.execute(plan)

@@ -64,3 +64,26 @@ def test_exchange_roundtrip(mesh):
     assert int(rows) == cap
     assert int(vsum) == int(val.sum())
     assert int(all_ok) == n
+
+
+def test_engine_distributed_matches_local():
+    """End-to-end: TPC-H queries with the aggregation stage sharded over
+    the 8-device mesh must match single-device results exactly."""
+    import numpy as np
+
+    from presto1_tpu.exec.catalog import TpchCatalog
+    from presto1_tpu.exec.engine import Engine
+    from presto1_tpu.tpch.queries import QUERIES
+
+    eng = Engine(TpchCatalog(sf=0.005))
+    for q in (1, 4, 12):
+        a = eng.sql_distributed(QUERIES[q], 8).to_pandas()
+        b = eng.sql(QUERIES[q]).to_pandas()
+        assert a.shape == b.shape
+        for c in a.columns:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            try:
+                assert np.allclose(av.astype(float), bv.astype(float),
+                                   rtol=1e-9, equal_nan=True)
+            except (TypeError, ValueError):
+                assert (av == bv).all()
