@@ -1,0 +1,103 @@
+"""Pallas kernel: fused range-filter + product-sum (single HBM pass).
+
+The shape of TPC-H Q6 (scan → filter → sum(a*b)) and of any
+filter-aggregate partial: the XLA path evaluates the predicate and the
+product as separate HBM-sized intermediates; this kernel streams column
+blocks HBM→VMEM once, evaluates the range predicates and the product on
+the VPU in-register, and emits tiny per-block partial sums.
+
+Exactness: inputs are int32 (cents/dates/codes all fit); the per-row
+product can reach ~2^27, so it is split into 16-bit limbs accumulated in
+int32 per block (no overflow for blocks ≤ 2^15 rows) and recombined in
+int64 outside.  The final reduction over per-block partials is a trivial
+jnp.sum.
+
+This is the template the other operator kernels follow (predicate-masked
+compaction, hash probe, radix partition — SURVEY.md §7 kernel list).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SUB = 8          # sublanes per int32 tile row
+LANE = 128
+BLOCK_ROWS = 2048  # rows per grid step (16 int32 tiles)
+
+
+def _kernel(bounds_ref, ship_ref, disc_ref, qty_ref, price_ref, out_ref):
+    ship = ship_ref[:]
+    disc = disc_ref[:]
+    qty = qty_ref[:]
+    price = price_ref[:]
+    mask = (
+        (ship >= bounds_ref[0]) & (ship < bounds_ref[1])
+        & (disc >= bounds_ref[2]) & (disc <= bounds_ref[3])
+        & (qty < bounds_ref[4])
+    )
+    prod = price * disc
+    lo = jnp.where(mask, prod & 0xFFFF, 0)
+    hi = jnp.where(mask, prod >> 16, 0)
+    cnt = mask.astype(jnp.int32)
+    out_ref[0, 0] = jnp.sum(lo)
+    out_ref[0, 1] = jnp.sum(hi)
+    out_ref[0, 2] = jnp.sum(cnt)
+
+
+def _pad32(x: jnp.ndarray, n_pad: int, fill) -> jnp.ndarray:
+    x = x.astype(jnp.int32)
+    if n_pad:
+        x = jnp.concatenate([x, jnp.full((n_pad,), fill, jnp.int32)])
+    return x
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def range_filter_product_sum(ship, disc, qty, price, bounds,
+                             interpret: bool = False):
+    """sum(price*disc), count over rows passing the range predicate.
+
+    bounds = [ship_lo, ship_hi_excl, disc_lo, disc_hi, qty_hi_excl] (int32).
+    Inputs are 1-D device arrays (any integer dtype that fits int32).
+    Returns (sum int64, count int64).
+    """
+    n = ship.shape[0]
+    n_pad = (-n) % BLOCK_ROWS
+    # padding rows fail the predicate via an impossible shipdate
+    ship_p = _pad32(ship, n_pad, np.iinfo(np.int32).max)
+    disc_p = _pad32(disc, n_pad, 0)
+    qty_p = _pad32(qty, n_pad, 0)
+    price_p = _pad32(price, n_pad, 0)
+    total = n + n_pad
+    rows = total // LANE
+    grid = total // BLOCK_ROWS
+    block_sub = BLOCK_ROWS // LANE
+
+    def shape2d(x):
+        return x.reshape(rows, LANE)
+
+    in_spec = pl.BlockSpec((block_sub, LANE), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            in_spec, in_spec, in_spec, in_spec,
+        ],
+        out_specs=pl.BlockSpec((1, 3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid, 3), jnp.int32),
+        interpret=interpret,
+    )(bounds.astype(jnp.int32), shape2d(ship_p), shape2d(disc_p),
+      shape2d(qty_p), shape2d(price_p))
+
+    lo = jnp.sum(out[:, 0].astype(jnp.int64))
+    hi = jnp.sum(out[:, 1].astype(jnp.int64))
+    cnt = jnp.sum(out[:, 2].astype(jnp.int64))
+    return hi * 65536 + lo, cnt

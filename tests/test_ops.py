@@ -185,3 +185,25 @@ def test_extract_year():
     e = call("extract_year", col("d", DATE))
     out = eval_expr(e, b)
     assert list(out.decode(3)) == [1992, 1998, 1995]
+
+
+def test_pallas_filter_sum_kernel_interpret():
+    """Fused range-filter + product-sum kernel vs numpy (interpret mode)."""
+    import jax.numpy as jnp
+
+    from presto1_tpu.ops.kernels.filter_sum import range_filter_product_sum
+
+    rng = np.random.RandomState(7)
+    n = 10_000
+    ship = rng.randint(8000, 10600, n).astype(np.int32)
+    disc = rng.randint(0, 11, n).astype(np.int32)
+    qty = rng.randint(100, 5000, n).astype(np.int32)
+    price = rng.randint(90000, 10_000_000, n).astype(np.int32)
+    bounds = jnp.asarray([8766, 9131, 5, 7, 2400], jnp.int32)
+    s, c = range_filter_product_sum(
+        jnp.asarray(ship), jnp.asarray(disc), jnp.asarray(qty),
+        jnp.asarray(price), bounds, interpret=True)
+    mask = ((ship >= 8766) & (ship < 9131) & (disc >= 5) & (disc <= 7)
+            & (qty < 2400))
+    assert int(s) == (price.astype(np.int64) * disc)[mask].sum()
+    assert int(c) == mask.sum()
