@@ -55,11 +55,20 @@ def main():
               3: ["customer", "orders", "lineitem"],
               5: ["customer", "orders", "lineitem", "supplier", "nation",
                   "region"]}
+    # the heavy tables only need their query-relevant columns in pandas
+    col_subset = {
+        "lineitem": ["l_orderkey", "l_suppkey", "l_quantity",
+                     "l_extendedprice", "l_discount", "l_tax",
+                     "l_returnflag", "l_linestatus", "l_shipdate"],
+        "orders": ["o_orderkey", "o_custkey", "o_orderdate",
+                   "o_shippriority"],
+    }
     tables = set()
     for q in qids:
         tables.update(needed.get(q, list(TABLES)))
     for t in tables:
-        frames[t] = catalog.table(t).batch().to_pandas()
+        cols = col_subset.get(t)
+        frames[t] = catalog.table(t).batch(cols).to_pandas()
 
     speedups = []
     rows_per_s = []
