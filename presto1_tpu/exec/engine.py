@@ -66,6 +66,105 @@ class Engine:
     def sql_pandas(self, sql: str):
         return self.sql(sql).to_pandas()
 
+    def execute_statement(self, sql: str):
+        """Full statement surface: queries plus CREATE TABLE [AS] /
+        INSERT INTO (query or VALUES) / DROP TABLE against writable
+        in-memory tables (the trino-memory connector analog)."""
+        from ..sql import ast
+        from ..sql.parser import parse_statement
+        from ..sql.planner import parse_type
+        from .memory_catalog import MemoryTable
+
+        stmt = parse_statement(sql)
+        if isinstance(stmt, ast.Query):
+            return self.sql(sql)
+        if isinstance(stmt, ast.CreateTable):
+            if stmt.name in self.catalog:
+                raise ValueError(f"table {stmt.name} already exists")
+            if stmt.columns is not None:
+                schema = [(c, parse_type(t)) for c, t in stmt.columns]
+                self.catalog.tables[stmt.name] = MemoryTable(stmt.name, schema)
+                return self._dml_result(0)
+            out = Executor(self.catalog).execute(
+                optimize(Planner(self.catalog).plan(stmt.as_query),
+                         self.catalog))
+            schema = [(n, c.type) for n, c in out.columns.items()]
+            table = MemoryTable(stmt.name, schema)
+            n = table.append(out)
+            self.catalog.tables[stmt.name] = table
+            return self._dml_result(n)
+        if isinstance(stmt, ast.DropTable):
+            if stmt.name not in self.catalog:
+                raise ValueError(f"table {stmt.name} not found")
+            del self.catalog.tables[stmt.name]
+            return self._dml_result(0)
+        if isinstance(stmt, ast.InsertInto):
+            table = self.catalog.table(stmt.name)
+            if not isinstance(table, MemoryTable):
+                raise ValueError(f"table {stmt.name} is not writable")
+            if stmt.query is not None:
+                out = Executor(self.catalog).execute(
+                    optimize(Planner(self.catalog).plan(stmt.query),
+                             self.catalog))
+            else:
+                out = self._values_batch(stmt.values, table)
+            n = table.append(out)
+            return self._dml_result(n)
+        raise ValueError(f"unsupported statement {type(stmt).__name__}")
+
+    def _dml_result(self, rows: int):
+        import jax.numpy as jnp
+
+        from ..batch import Column, RecordBatch
+        from ..types import BIGINT
+
+        return RecordBatch(
+            {"rows": Column(jnp.asarray([rows], dtype=jnp.int64), BIGINT)}, 1)
+
+    def _values_batch(self, rows, table):
+        import numpy as np
+
+        from ..batch import from_numpy
+        from ..sql import ast
+
+        cols = {c: [] for c in table.column_order}
+        for row in rows:
+            if len(row) != len(table.column_order):
+                raise ValueError("VALUES arity mismatch")
+            for cname, e in zip(table.column_order, row):
+                neg = False
+                while isinstance(e, ast.UnaryOp) and e.op == "-":
+                    neg = not neg
+                    e = e.operand
+                if isinstance(e, ast.NumberLit):
+                    v = float(e.text) if "." in e.text else int(e.text)
+                elif isinstance(e, ast.StringLit):
+                    v = e.value
+                elif isinstance(e, ast.DateLit):
+                    v = np.datetime64(e.value, "D")
+                else:
+                    raise ValueError("VALUES must be literals")
+                if neg:
+                    v = -v
+                cols[cname].append(v)
+        arrays = {}
+        for cname in table.column_order:
+            t = table.schema[cname]
+            vals = cols[cname]
+            if t.is_string:
+                arrays[cname] = np.asarray(vals, dtype=object)
+            elif t.kind == "decimal":
+                arrays[cname] = np.round(
+                    np.asarray(vals, dtype=np.float64) * 10 ** t.scale
+                ).astype(np.int64)  # type: ignore[attr-defined]
+            elif t.kind == "date":
+                arrays[cname] = (
+                    np.asarray(vals, dtype="datetime64[D]")
+                    - np.datetime64("1970-01-01", "D")).astype(np.int32)
+            else:
+                arrays[cname] = np.asarray(vals).astype(t.np_dtype)
+        return from_numpy(arrays, dict(table.schema))
+
     def explain_analyze(self, sql: str) -> str:
         stats = QueryStats()
         plan = self.plan(sql)

@@ -210,3 +210,25 @@ class Substring(Expr):
     expr: Expr
     start: Expr
     length: Optional[Expr] = None
+
+
+# ---------------------------------------------------------------- statements
+
+
+@dataclass
+class CreateTable(Node):
+    name: str
+    columns: Optional[List[Tuple[str, str]]] = None  # (name, type name)
+    as_query: Optional[Query] = None
+
+
+@dataclass
+class InsertInto(Node):
+    name: str
+    query: Optional[Query] = None
+    values: Optional[List[List["Expr"]]] = None
+
+
+@dataclass
+class DropTable(Node):
+    name: str

@@ -33,6 +33,7 @@ KEYWORDS = {
     "interval", "extract", "substring", "join", "inner", "left", "right",
     "full", "outer", "cross", "on", "distinct", "asc", "desc", "with",
     "union", "all", "nulls", "first", "last", "true", "false", "for",
+    "create", "table", "insert", "into", "values", "drop",
 }
 
 
@@ -114,6 +115,66 @@ class Parser:
         self.accept("op", ";")
         self.expect("eof")
         return q
+
+    def parse_statement(self):
+        t = self.peek()
+        if t.kind == "kw" and t.value == "create":
+            self.next()
+            self.expect("kw", "table")
+            name = self.expect("ident").value
+            if self.kw("as"):
+                return self._finish(ast.CreateTable(name, as_query=self._query()))
+            self.expect("op", "(")
+            cols = []
+            while True:
+                cname = self.expect("ident").value
+                parts = [self.next().value]
+                while self.peek().kind in ("ident", "kw") or self.peek().value == "(":
+                    nt = self.peek()
+                    if nt.value == "(":
+                        self.next()
+                        inner = []
+                        while self.peek().value != ")":
+                            inner.append(self.next().value)
+                        self.next()
+                        parts[-1] += "(" + "".join(inner) + ")"
+                        break
+                    if nt.kind == "op":
+                        break
+                    parts.append(self.next().value)
+                cols.append((cname, " ".join(parts)))
+                if not self.accept("op", ","):
+                    break
+            self.expect("op", ")")
+            return self._finish(ast.CreateTable(name, columns=cols))
+        if t.kind == "kw" and t.value == "insert":
+            self.next()
+            self.expect("kw", "into")
+            name = self.expect("ident").value
+            if self.kw("values"):
+                rows = []
+                while True:
+                    self.expect("op", "(")
+                    row = [self._expr()]
+                    while self.accept("op", ","):
+                        row.append(self._expr())
+                    self.expect("op", ")")
+                    rows.append(row)
+                    if not self.accept("op", ","):
+                        break
+                return self._finish(ast.InsertInto(name, values=rows))
+            return self._finish(ast.InsertInto(name, query=self._query()))
+        if t.kind == "kw" and t.value == "drop":
+            self.next()
+            self.expect("kw", "table")
+            name = self.expect("ident").value
+            return self._finish(ast.DropTable(name))
+        return self.parse_query()
+
+    def _finish(self, stmt):
+        self.accept("op", ";")
+        self.expect("eof")
+        return stmt
 
     def _query(self) -> ast.Query:
         ctes = []
@@ -477,3 +538,7 @@ class Parser:
 
 def parse(sql: str) -> ast.Query:
     return Parser(sql).parse_query()
+
+
+def parse_statement(sql: str):
+    return Parser(sql).parse_statement()
