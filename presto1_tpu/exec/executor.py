@@ -42,6 +42,7 @@ from ..ops.join import cross_join
 from ..ops.common import key_ranges
 from ..sql.logical import (
     Aggregate, Filter, Join, Limit, LogicalNode, Output, Project, Scan, Sort,
+    WindowNode,
 )
 
 Path = Tuple[int, ...]
@@ -354,6 +355,26 @@ class Executor:
         out = sort_batch(child, keys, limit=node.limit)
         return self._shrink(out)
 
+    def _x_WindowNode(self, node: WindowNode, path: Path) -> RecordBatch:
+        from ..ops.sort import SortKey
+        from ..ops.window import WindowCall as WCall, window
+
+        child = self.execute(node.child, path + (0,))
+        pcols = [eval_expr(self._bind(e, child), child)
+                 for e in node.partition_by]
+        ranges = self._ranges(path, "ranges", pcols, child.num_rows) \
+            if pcols else []
+        okeys = [SortKey(eval_expr(self._bind(e, child), child), asc, nf)
+                 for e, asc, nf in node.order_by]
+        calls = [
+            WCall(fn,
+                  None if arg is None
+                  else eval_expr(self._bind(arg, child), child),
+                  sym, t)
+            for sym, fn, arg, t in node.calls
+        ]
+        return window(child, pcols, ranges, okeys, calls)
+
     def _x_Limit(self, node: Limit, path: Path) -> RecordBatch:
         child = self.execute(node.child, path + (0,))
         return self._shrink(limit_batch(child, node.n))
@@ -364,10 +385,13 @@ def _fragment_roots(node: LogicalNode, path: Path = ()) -> List[Path]:
     program (the PlanFragmenter analog — reference
     ``sql/planner/PlanFragmenter.java:106`` cuts at exchanges; we cut at
     the operators whose fused modules would grow unboundedly)."""
-    from ..sql.logical import Aggregate as _Agg, Join as _Join, Sort as _Sort
+    from ..sql.logical import (
+        Aggregate as _Agg, Join as _Join, Sort as _Sort,
+        WindowNode as _Win,
+    )
 
-    out = [path] if (path == () or isinstance(node, (_Agg, _Join, _Sort))) \
-        else []
+    out = [path] if (path == ()
+                     or isinstance(node, (_Agg, _Join, _Sort, _Win))) else []
     for i, c in enumerate(node.children):
         out += _fragment_roots(c, path + (i,))
     return out

@@ -141,6 +141,15 @@ class FuncCall(Expr):
 
 
 @dataclass
+class WindowCall(Expr):
+    name: str
+    args: List[Expr]
+    partition_by: List[Expr]
+    order_by: List["OrderItem"]
+    is_star: bool = False
+
+
+@dataclass
 class Case(Expr):
     whens: List[Tuple[Expr, Expr]]
     else_: Optional[Expr] = None

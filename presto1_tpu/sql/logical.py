@@ -131,6 +131,29 @@ class Join(LogicalNode):
 
 
 @dataclass
+class WindowNode(LogicalNode):
+    child: LogicalNode
+    partition_by: List[Expr]
+    order_by: List[Tuple[Expr, bool, Optional[bool]]]
+    calls: List[Tuple[str, str, Optional[Expr], SqlType]]  # (sym, fn, arg, type)
+
+    @property
+    def schema(self):
+        out = dict(self.child.schema)
+        for sym, _, _, t in self.calls:
+            out[sym] = t
+        return out
+
+    @property
+    def children(self):
+        return [self.child]
+
+    def with_children(self, children):
+        return WindowNode(children[0], self.partition_by, self.order_by,
+                          self.calls)
+
+
+@dataclass
 class Sort(LogicalNode):
     child: LogicalNode
     keys: List[Tuple[Expr, bool, Optional[bool]]]  # (expr, asc, nulls_first)

@@ -23,7 +23,7 @@ from typing import Dict, List, Optional, Set, Tuple
 from ..expr import ir
 from .logical import (
     AggCall, Aggregate, Filter, Join, Limit, LogicalNode, Output, Project,
-    Scan, Sort,
+    Scan, Sort, WindowNode,
 )
 from .planner import ir_conjoin
 
@@ -239,7 +239,7 @@ def _estimate(node: LogicalNode, catalog) -> float:
         if node.kind in ("semi", "anti"):
             return l * 0.5
         return max(l, r)
-    if isinstance(node, (Project, Sort, Limit, Output)):
+    if isinstance(node, (Project, Sort, Limit, Output, WindowNode)):
         return _estimate(node.children[0], catalog)
     return 1000.0
 
@@ -502,6 +502,17 @@ def _prune(node: LogicalNode, needed: Set[str]) -> LogicalNode:
         for e, _, _ in node.keys:
             child_needed |= _refs(e)
         return Sort(_prune(node.child, child_needed), node.keys, node.limit)
+    if isinstance(node, WindowNode):
+        child_needed = set(needed) - {s for s, _, _, _ in node.calls}
+        for e in node.partition_by:
+            child_needed |= _refs(e)
+        for e, _, _ in node.order_by:
+            child_needed |= _refs(e)
+        for _, _, arg, _ in node.calls:
+            if arg is not None:
+                child_needed |= _refs(arg)
+        return WindowNode(_prune(node.child, child_needed),
+                          node.partition_by, node.order_by, node.calls)
     if isinstance(node, Limit):
         return Limit(_prune(node.child, needed), node.n)
     return node.with_children([_prune(c, needed) for c in node.children])

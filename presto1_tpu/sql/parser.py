@@ -34,6 +34,7 @@ KEYWORDS = {
     "full", "outer", "cross", "on", "distinct", "asc", "desc", "with",
     "union", "all", "nulls", "first", "last", "true", "false", "for",
     "create", "table", "insert", "into", "values", "drop",
+    "over", "partition",
 }
 
 
@@ -505,7 +506,7 @@ class Parser:
                 self.next()  # (
                 if self.accept("op", "*"):
                     self.expect("op", ")")
-                    return ast.FuncCall(name, [], is_star=True)
+                    return self._maybe_window(ast.FuncCall(name, [], is_star=True))
                 distinct = bool(self.kw("distinct"))
                 args = []
                 if self.peek().value != ")":
@@ -513,12 +514,33 @@ class Parser:
                     while self.accept("op", ","):
                         args.append(self._expr())
                 self.expect("op", ")")
-                return ast.FuncCall(name, args, distinct=distinct)
+                fc = ast.FuncCall(name, args, distinct=distinct)
+                return self._maybe_window(fc)
             parts = [self.next().value]
             while self.accept("op", "."):
                 parts.append(self.expect("ident").value)
             return ast.Identifier(parts)
         raise SyntaxError(f"unexpected token {t.kind}:{t.value!r}")
+
+    def _maybe_window(self, fc: ast.FuncCall) -> ast.Expr:
+        if not self.kw("over"):
+            return fc
+        self.expect("op", "(")
+        partition = []
+        if self.kw("partition"):
+            self.expect("kw", "by")
+            partition.append(self._expr())
+            while self.accept("op", ","):
+                partition.append(self._expr())
+        order = []
+        if self.kw("order"):
+            self.expect("kw", "by")
+            order.append(self._order_item())
+            while self.accept("op", ","):
+                order.append(self._order_item())
+        self.expect("op", ")")
+        return ast.WindowCall(fc.name, fc.args, partition, order,
+                              is_star=fc.is_star)
 
     def _case(self) -> ast.Expr:
         self.expect("kw", "case")

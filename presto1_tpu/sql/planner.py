@@ -24,7 +24,7 @@ from ..types import (
 from . import ast
 from .logical import (
     AggCall, Aggregate, Filter, Join, Limit, LogicalNode, Output, Project,
-    Scan, Sort,
+    Scan, Sort, WindowNode,
 )
 
 EPOCH = np.datetime64("1970-01-01", "D")
@@ -239,8 +239,44 @@ class Planner:
         if corr_sink is not None:
             corr_sink.extend(corr_conjuncts)
 
-        # aggregate extraction
+        # window functions (evaluated over the post-WHERE relation)
         agg_map: Dict[int, ir.Expr] = {}
+        window_calls: List[ast.WindowCall] = []
+        for i in sel.items:
+            if i.expr is not None:
+                _collect_windows(i.expr, window_calls)
+        for o in sel.order_by:
+            _collect_windows(o.expr, window_calls)
+        if window_calls:
+            wconv = ExprConverter(scope, self)
+            for w in window_calls:
+                part_irs = [wconv.convert(p) for p in w.partition_by]
+                order_irs = [(wconv.convert(o.expr), o.ascending,
+                              o.nulls_first) for o in w.order_by]
+                arg_ir = None
+                fn = w.name
+                if w.is_star and fn == "count":
+                    arg_ir = None
+                elif w.args:
+                    arg_ir = wconv.convert(w.args[0])
+                if fn in ("row_number", "rank", "dense_rank", "count"):
+                    t = BIGINT
+                elif fn == "avg":
+                    t = DOUBLE
+                elif fn == "sum":
+                    t = agg_output_type("sum", arg_ir.type)
+                elif fn in ("min", "max"):
+                    t = arg_ir.type
+                else:
+                    raise PlanError(f"unsupported window function {fn}")
+                sym = self.symbol(fn)
+                node = WindowNode(node, part_irs, order_irs,
+                                  [(sym, fn, arg_ir, t)])
+                agg_map[id(w)] = ir.ColumnRef(sym, t)
+            if wconv.used_outer:
+                raise PlanError("correlated window expression")
+
+        # aggregate extraction
         agg_asts = []
         for e in ([i.expr for i in sel.items if i.expr is not None]
                   + ([sel.having] if sel.having else [])
@@ -503,6 +539,14 @@ def _collect_aggs(e: ast.Expr, out: List[ast.FuncCall]):
         return  # no nested aggregates
     for child in _ast_children(e):
         _collect_aggs(child, out)
+
+
+def _collect_windows(e: ast.Expr, out: List[ast.WindowCall]):
+    if isinstance(e, ast.WindowCall):
+        out.append(e)
+        return
+    for child in _ast_children(e):
+        _collect_windows(child, out)
 
 
 def _collect_scalar_subqueries(e: ast.Expr, out: List[ast.ScalarSubquery]):

@@ -20,6 +20,6 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # persistent XLA compile cache: the eager executor compiles many small
 # per-shape programs; caching them across test runs cuts suite time ~5x
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
