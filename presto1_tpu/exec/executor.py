@@ -42,7 +42,7 @@ from ..ops.join import cross_join
 from ..ops.common import key_ranges
 from ..sql.logical import (
     Aggregate, Filter, Join, Limit, LogicalNode, Output, Project, Scan, Sort,
-    WindowNode,
+    Union, WindowNode,
 )
 
 Path = Tuple[int, ...]
@@ -375,6 +375,70 @@ class Executor:
         ]
         return window(child, pcols, ranges, okeys, calls)
 
+    def _x_Union(self, node: Union, path: Path) -> RecordBatch:
+        parts = [self.execute(c, path + (i,))
+                 for i, c in enumerate(node.inputs)]
+        rec = self._rec(path)
+        counts = [p.num_rows for p in parts]
+        if self.compiled:
+            cap = rec["capacity"]
+        else:
+            cap = round_capacity(max(sum(int(c) for c in counts), 1))
+            rec["capacity"] = max(cap, rec.get("capacity", 0))
+        total = counts[0]
+        for c in counts[1:]:
+            total = total + c
+        i = jnp.arange(cap, dtype=jnp.int64)
+        cols: Dict[str, Column] = {}
+        for sym, t, srcs in node.outputs:
+            # merged dictionary for varchar columns (host-side, static per plan)
+            dictionary = None
+            remaps = [None] * len(parts)
+            if t.is_string:
+                dicts = [parts[k][srcs[k]].dictionary for k in range(len(parts))]
+                dictionary = np.unique(np.concatenate(
+                    [d if d is not None and len(d) else np.empty(0, "U1")
+                     for d in dicts]))
+                for k, d in enumerate(dicts):
+                    if d is not None and len(d):
+                        remaps[k] = jnp.asarray(
+                            np.searchsorted(dictionary, d).astype(np.int32))
+            data = None
+            validity = None
+            offset = 0
+            for k, p in enumerate(parts):
+                c = p[srcs[k]]
+                d = c.data
+                if remaps[k] is not None:
+                    d = jnp.take(remaps[k], jnp.clip(c.data, 0,
+                                                     len(remaps[k]) - 1))
+                if t.kind == "double" and d.dtype.kind != "f":
+                    d = d.astype(jnp.float64)
+                elif t.kind != "double" and d.dtype != np.dtype(t.np_dtype):
+                    d = d.astype(np.dtype(t.np_dtype))
+                local = i - offset
+                sel = (local >= 0) & (local < counts[k])
+                g = jnp.take(d, jnp.clip(local, 0, d.shape[0] - 1),
+                             mode="clip")
+                v = None
+                if c.validity is not None:
+                    v = jnp.take(c.validity, jnp.clip(local, 0,
+                                                      d.shape[0] - 1),
+                                 mode="clip")
+                if data is None:
+                    data = jnp.where(sel, g, jnp.zeros((), g.dtype))
+                    validity = v if v is None else (v & sel) | ~sel
+                else:
+                    data = jnp.where(sel, g, data)
+                    if v is not None or validity is not None:
+                        va = jnp.ones((cap,), bool) if validity is None else validity
+                        vb = jnp.ones((cap,), bool) if v is None else v
+                        validity = jnp.where(sel, vb, va)
+                offset = offset + counts[k]
+            cols[sym] = Column(data, t, validity=validity,
+                               dictionary=dictionary)
+        return self._shrink(RecordBatch(cols, total))
+
     def _x_Limit(self, node: Limit, path: Path) -> RecordBatch:
         child = self.execute(node.child, path + (0,))
         return self._shrink(limit_batch(child, node.n))
@@ -386,12 +450,13 @@ def _fragment_roots(node: LogicalNode, path: Path = ()) -> List[Path]:
     ``sql/planner/PlanFragmenter.java:106`` cuts at exchanges; we cut at
     the operators whose fused modules would grow unboundedly)."""
     from ..sql.logical import (
-        Aggregate as _Agg, Join as _Join, Sort as _Sort,
+        Aggregate as _Agg, Join as _Join, Sort as _Sort, Union as _Uni,
         WindowNode as _Win,
     )
 
     out = [path] if (path == ()
-                     or isinstance(node, (_Agg, _Join, _Sort, _Win))) else []
+                     or isinstance(node, (_Agg, _Join, _Sort, _Win, _Uni))) \
+        else []
     for i, c in enumerate(node.children):
         out += _fragment_roots(c, path + (i,))
     return out

@@ -219,6 +219,70 @@ def _eval_call(expr: Call, batch: RecordBatch):
         a, va, _ = _eval(expr.args[0], batch)
         return _norm(-a, va), va, None
 
+    if fn == "abs":
+        a, va, _ = _eval(expr.args[0], batch)
+        return _norm(jnp.abs(a), va), va, None
+
+    if fn in ("floor", "ceil"):
+        a, va, _ = _eval(expr.args[0], batch)
+        t = expr.args[0].type
+        if t.kind == "decimal":
+            s = 10 ** _scale_of(t)
+            out = jnp.floor_divide(a, s) if fn == "floor" \
+                else -jnp.floor_divide(-a, s)
+        elif t.kind == "double":
+            out = jnp.floor(a) if fn == "floor" else jnp.ceil(a)
+            out = out.astype(jnp.float64)
+        else:
+            out = a
+        if expr.type.kind == "bigint":
+            out = out.astype(jnp.int64)
+        return _norm(out, va), va, None
+
+    if fn == "round":
+        a, va, _ = _eval(expr.args[0], batch)
+        t = expr.args[0].type
+        d = int(expr.args[1].value) if len(expr.args) > 1 else 0
+        if t.kind == "decimal":
+            out = _rescale(_rescale(a, _scale_of(t), d), d, _scale_of(t))
+        else:
+            f = 10.0 ** d
+            out = jnp.round(a * f) / f
+        return _norm(out, va), va, None
+
+    if fn == "sqrt":
+        a, va, _ = _eval(expr.args[0], batch)
+        return _norm(jnp.sqrt(_to_double(a, expr.args[0].type)), va), va, None
+
+    if fn == "power":
+        a, va, _ = _eval(expr.args[0], batch)
+        b, vb, _ = _eval(expr.args[1], batch)
+        v = _and_validity(va, vb)
+        out = jnp.power(_to_double(a, expr.args[0].type),
+                        _to_double(b, expr.args[1].type))
+        return _norm(out, v), v, None
+
+    if fn == "mod":
+        a, b, va, vb, t = _common_pair(expr.args[0], expr.args[1], batch)
+        v = _and_validity(va, vb)
+        return _norm(a % b, v), v, None
+
+    if fn == "nullif":
+        a, va, _ = _eval(expr.args[0], batch)
+        b, vb, _ = _eval_coerced(expr.args[1], batch, expr.args[0].type)
+        eq = a == b
+        validity = (~eq) if va is None else (va & ~eq)
+        return _norm(a, validity), validity, None
+
+    if fn in ("greatest", "least"):
+        op = jnp.maximum if fn == "greatest" else jnp.minimum
+        data, validity, _ = _eval_coerced(expr.args[0], batch, expr.type)
+        for arg in expr.args[1:]:
+            d2, v2, _ = _eval_coerced(arg, batch, expr.type)
+            data = op(data, d2)
+            validity = _and_validity(validity, v2)
+        return _norm(data, validity), validity, None
+
     if fn in ("like", "substring", "||"):
         raise TypeError(
             f"string op '{fn}' reached device evaluation — run bind_string_ops first"
@@ -455,8 +519,16 @@ def _eval_strings(expr: Expr, values: np.ndarray):
         s = start - 1
         e = None if length is None else s + length
         return np.array([v[s:e] for v in args[0]], dtype=values.dtype)
-    if fn == "||":
+    if fn in ("||", "concat"):
         return np.char.add(np.asarray(args[0], dtype=str), np.asarray(args[1], dtype=str))
+    if fn == "length":
+        return np.char.str_len(np.asarray(args[0], dtype=str)).astype(np.int64)
+    if fn == "upper":
+        return np.char.upper(np.asarray(args[0], dtype=str))
+    if fn == "lower":
+        return np.char.lower(np.asarray(args[0], dtype=str))
+    if fn == "trim":
+        return np.char.strip(np.asarray(args[0], dtype=str))
     if fn == "=":
         return np.asarray(args[0]) == args[1] if np.ndim(args[0]) else args[0] == np.asarray(args[1])
     if fn == "<>":

@@ -14,7 +14,9 @@ from typing import Any, Optional, Tuple
 
 import numpy as np
 
-from ..types import BOOLEAN, DOUBLE, SqlType, DecimalType, common_supertype
+from ..types import (
+    BIGINT, BOOLEAN, DOUBLE, SqlType, DecimalType, VARCHAR, common_supertype,
+)
 
 
 @dataclass(frozen=True)
@@ -136,10 +138,27 @@ def infer_type(fn: str, args) -> SqlType:
         return t
     if fn == "neg":
         return args[0].type
-    if fn == "extract_year":
-        from ..types import BIGINT
-
+    if fn in ("extract_year", "extract_month", "length"):
         return BIGINT
+    if fn in ("upper", "lower", "trim", "concat"):
+        return VARCHAR
+    if fn in ("abs", "negate"):
+        return args[0].type
+    if fn in ("floor", "ceil"):
+        return BIGINT if args[0].type.kind in ("decimal", "bigint", "integer") else args[0].type
+    if fn in ("sqrt", "power", "ln", "exp"):
+        return DOUBLE
+    if fn == "round":
+        return args[0].type
+    if fn == "mod":
+        return common_supertype(args[0].type, args[1].type)
+    if fn == "nullif":
+        return args[0].type
+    if fn in ("greatest", "least"):
+        t = args[0].type
+        for a in args[1:]:
+            t = common_supertype(t, a.type)
+        return t
     if fn == "coalesce":
         return args[0].type
     if fn == "case":

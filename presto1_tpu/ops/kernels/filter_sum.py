@@ -42,12 +42,13 @@ def _kernel(bounds_ref, ship_ref, disc_ref, qty_ref, price_ref, out_ref):
         & (qty < bounds_ref[4])
     )
     prod = price * disc
-    lo = jnp.where(mask, prod & 0xFFFF, 0)
-    hi = jnp.where(mask, prod >> 16, 0)
-    cnt = mask.astype(jnp.int32)
-    out_ref[0, 0] = jnp.sum(lo)
-    out_ref[0, 1] = jnp.sum(hi)
-    out_ref[0, 2] = jnp.sum(cnt)
+    lo = jnp.sum(jnp.where(mask, prod & 0xFFFF, 0))
+    hi = jnp.sum(jnp.where(mask, prod >> 16, 0))
+    cnt = jnp.sum(mask.astype(jnp.int32))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    out_ref[:] = (jnp.where(lane == 0, lo, 0)
+                  + jnp.where(lane == 1, hi, 0)
+                  + jnp.where(lane == 2, cnt, 0))
 
 
 def _pad32(x: jnp.ndarray, n_pad: int, fill) -> jnp.ndarray:
@@ -90,9 +91,9 @@ def range_filter_product_sum(ship, disc, qty, price, bounds,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             in_spec, in_spec, in_spec, in_spec,
         ],
-        out_specs=pl.BlockSpec((1, 3), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((grid, 3), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((grid, LANE), jnp.int32),
         interpret=interpret,
     )(bounds.astype(jnp.int32), shape2d(ship_p), shape2d(disc_p),
       shape2d(qty_p), shape2d(price_p))

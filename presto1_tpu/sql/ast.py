@@ -26,6 +26,16 @@ class Query(Node):
 
 
 @dataclass
+class SetOp(Node):
+    left: Node  # Select | SetOp
+    right: Node  # Select
+    all: bool = False
+    # trailing ORDER BY / LIMIT of the whole set operation (SQL scoping)
+    order_by: List["OrderItem"] = field(default_factory=list)
+    limit: Optional[int] = None
+
+
+@dataclass
 class Select(Node):
     items: List["SelectItem"]
     from_: Optional["FromItem"]

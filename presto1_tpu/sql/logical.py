@@ -131,6 +131,24 @@ class Join(LogicalNode):
 
 
 @dataclass
+class Union(LogicalNode):
+    inputs: List[LogicalNode]
+    # outputs[i] = (union symbol, type, [per-child source symbol])
+    outputs: List[Tuple[str, SqlType, List[str]]]
+
+    @property
+    def schema(self):
+        return {s: t for s, t, _ in self.outputs}
+
+    @property
+    def children(self):
+        return list(self.inputs)
+
+    def with_children(self, children):
+        return Union(list(children), self.outputs)
+
+
+@dataclass
 class WindowNode(LogicalNode):
     child: LogicalNode
     partition_by: List[Expr]

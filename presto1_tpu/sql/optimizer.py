@@ -23,7 +23,7 @@ from typing import Dict, List, Optional, Set, Tuple
 from ..expr import ir
 from .logical import (
     AggCall, Aggregate, Filter, Join, Limit, LogicalNode, Output, Project,
-    Scan, Sort, WindowNode,
+    Scan, Sort, Union, WindowNode,
 )
 from .planner import ir_conjoin
 
@@ -239,6 +239,8 @@ def _estimate(node: LogicalNode, catalog) -> float:
         if node.kind in ("semi", "anti"):
             return l * 0.5
         return max(l, r)
+    if isinstance(node, Union):
+        return sum(_estimate(c, catalog) for c in node.inputs)
     if isinstance(node, (Project, Sort, Limit, Output, WindowNode)):
         return _estimate(node.children[0], catalog)
     return 1000.0
@@ -502,6 +504,13 @@ def _prune(node: LogicalNode, needed: Set[str]) -> LogicalNode:
         for e, _, _ in node.keys:
             child_needed |= _refs(e)
         return Sort(_prune(node.child, child_needed), node.keys, node.limit)
+    if isinstance(node, Union):
+        keep = [o for o in node.outputs if o[0] in needed] or node.outputs[:1]
+        new_inputs = []
+        for i, child in enumerate(node.inputs):
+            cn = {srcs[i] for _, _, srcs in keep}
+            new_inputs.append(_prune(child, cn))
+        return Union(new_inputs, keep)
     if isinstance(node, WindowNode):
         child_needed = set(needed) - {s for s, _, _, _ in node.calls}
         for e in node.partition_by:

@@ -189,6 +189,16 @@ class Parser:
                 if not self.accept("op", ","):
                     break
         sel = self._select()
+        while self.kw("union"):
+            all_ = bool(self.kw("all"))
+            self.kw("distinct")
+            right = self._select()
+            sel = ast.SetOp(sel, right, all_)
+        if isinstance(sel, ast.SetOp):
+            # a trailing ORDER BY/LIMIT binds to the whole set operation
+            last = sel.right
+            sel.order_by, last.order_by = last.order_by, []
+            sel.limit, last.limit = last.limit, None
         return ast.Query(ctes, sel)
 
     def _select(self) -> ast.Select:

@@ -24,7 +24,7 @@ from ..types import (
 from . import ast
 from .logical import (
     AggCall, Aggregate, Filter, Join, Limit, LogicalNode, Output, Project,
-    Scan, Sort, WindowNode,
+    Scan, Sort, Union, WindowNode,
 )
 
 EPOCH = np.datetime64("1970-01-01", "D")
@@ -172,7 +172,43 @@ class Planner:
         local_ctes = dict(ctes)
         for name, q in query.ctes:
             local_ctes[name] = q
+        if isinstance(query.select, ast.SetOp):
+            if corr_sink is not None:
+                raise PlanError("correlated set operations unsupported")
+            return self.plan_setop(query.select, outer, local_ctes)
         return self.plan_select(query.select, outer, local_ctes, corr_sink)
+
+    def plan_setop(self, op: ast.SetOp, outer, ctes) -> RelationPlan:
+        def plan_side(side):
+            if isinstance(side, ast.SetOp):
+                return self.plan_setop(side, None, ctes)
+            return self.plan_select(side, None, ctes)
+
+        left = plan_side(op.left)
+        right = plan_side(op.right)
+        lf, rf = left.scope.fields, right.scope.fields
+        if len(lf) != len(rf):
+            raise PlanError("UNION inputs have different column counts")
+        from ..types import common_supertype
+
+        outputs = []
+        for a, b in zip(lf, rf):
+            t = a.type if a.type == b.type else common_supertype(a.type, b.type)
+            outputs.append((self.symbol(a.name), t, [a.symbol, b.symbol]))
+        node = Union([left.node, right.node], outputs)
+        fields = [FieldRef(None, a.name, s, t)
+                  for a, (s, t, _) in zip(lf, outputs)]
+        if not op.all:
+            node = Aggregate(node, [s for s, _, _ in outputs], [])
+        scope = Scope(fields, outer)
+        if op.order_by:
+            conv = ExprConverter(Scope(fields), self)
+            keys = [(conv.convert(o.expr), o.ascending, o.nulls_first)
+                    for o in op.order_by]
+            node = Sort(node, keys, limit=op.limit)
+        elif op.limit is not None:
+            node = Limit(node, op.limit)
+        return RelationPlan(node, scope)
 
     # ------------------------------------------------------------- FROM
 
@@ -652,7 +688,24 @@ class ExprConverter:
             return ir.Literal(-child.value, child.type)
         return ir.call("neg", child)
 
+    SCALAR_FNS = {
+        "abs", "floor", "ceil", "round", "sqrt", "power", "pow", "mod",
+        "nullif", "greatest", "least", "length", "upper", "lower", "trim",
+        "concat", "coalesce",
+    }
+
     def _c_FuncCall(self, e: ast.FuncCall) -> ir.Expr:
+        name = {"pow": "power"}.get(e.name, e.name)
+        if name in self.SCALAR_FNS:
+            args = [self.convert(a) for a in e.args]
+            if name == "coalesce":
+                return ir.call("coalesce", *args, type=args[0].type)
+            if name == "concat":
+                out = args[0]
+                for a in args[1:]:
+                    out = ir.call("||", out, a)
+                return out
+            return ir.call(name, *args)
         raise PlanError(
             f"aggregate {e.name} in invalid context (or unknown function)")
 

@@ -207,3 +207,33 @@ def test_pallas_filter_sum_kernel_interpret():
             & (qty < 2400))
     assert int(s) == (price.astype(np.int64) * disc)[mask].sum()
     assert int(c) == mask.sum()
+
+
+def test_union_all_and_distinct():
+    from presto1_tpu.exec.catalog import TpchCatalog
+    from presto1_tpu.exec.engine import Engine
+
+    e = Engine(TpchCatalog(sf=0.001))
+    rows = e.sql(
+        "select n_name v from nation where n_regionkey = 0 "
+        "union all select r_name from region order by v limit 4").to_pylist()
+    assert [r[0] for r in rows] == ["AFRICA", "ALGERIA", "AMERICA", "ASIA"]
+    rows = e.sql(
+        "select n_regionkey k from nation union "
+        "select r_regionkey from region order by k").to_pylist()
+    assert [r[0] for r in rows] == [0, 1, 2, 3, 4]
+
+
+def test_scalar_functions():
+    from presto1_tpu.exec.catalog import TpchCatalog
+    from presto1_tpu.exec.engine import Engine
+
+    e = Engine(TpchCatalog(sf=0.001))
+    row = e.sql(
+        "select abs(-5) a, mod(7, 3) m, round(1.256, 2) r, sqrt(16.0) s, "
+        "length(n_name) l, lower(n_name) lo, greatest(1, 2, 3) g, "
+        "coalesce(n_nationkey, 0) c from nation where n_nationkey = 0"
+    ).to_pylist()[0]
+    assert row[0] == 5 and row[1] == 1 and float(row[2]) == 1.26
+    assert row[3] == 4.0 and row[4] == 7 and row[5] == "algeria"
+    assert row[6] == 3 and row[7] == 0
