@@ -24,10 +24,22 @@ def compare_frames(a, b, rtol=1e-6, atol=1e-6):
     """Row-for-row comparison with float tolerance; returns error or None."""
     if a.shape != b.shape:
         return f"shape {a.shape} != {b.shape}"
-    a = a.copy()
-    b = b.copy()
-    a.columns = range(len(a.columns))
-    b.columns = range(len(b.columns))
+    import pandas as pd
+
+    def norm_dates(df):
+        df = df.copy()
+        df.columns = range(len(df.columns))
+        for c in df.columns:
+            col = df[c]
+            sample = col.iloc[0] if len(col) else None
+            if str(col.dtype).startswith("datetime") or (
+                    col.dtype == object and hasattr(sample, "year")
+                    and not isinstance(sample, str)):
+                df[c] = pd.to_datetime(col).dt.strftime("%Y-%m-%d")
+        return df
+
+    a = norm_dates(a)
+    b = norm_dates(b)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         try:
