@@ -104,3 +104,13 @@ def pack_keys(
 
 def iota(n: int) -> jnp.ndarray:
     return jnp.arange(n, dtype=jnp.int64)
+
+
+def searchsorted_fast(a: jnp.ndarray, v: jnp.ndarray, side: str = "left"):
+    """Backend-aware searchsorted: XLA:TPU executes the default binary-
+    search ('scan') method orders of magnitude slower than the co-sorting
+    lowering, so pick per backend at trace time."""
+    import jax
+
+    method = "sort" if jax.default_backend() != "cpu" else "scan"
+    return jnp.searchsorted(a, v, side=side, method=method)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ..batch import Column, RecordBatch
 from ..expr.ir import Expr
 from ..expr.eval import eval_predicate
-from .common import INT64_MAX, iota, pack_keys
+from .common import INT64_MAX, iota, pack_keys, searchsorted_fast
 from .segments import compact_indices, sorted_segment_sum
 
 
@@ -38,8 +38,8 @@ def _probe_ranges(probe, build, probe_keys, build_keys, ranges):
                    null_high=True)
     pk = pack_keys([probe[k] for k in probe_keys], ranges, probe.num_rows)
     sorted_bk, bperm = jax.lax.sort((bk, iota(nb)), num_keys=1)
-    lo = jnp.searchsorted(sorted_bk, pk, side="left")
-    hi = jnp.searchsorted(sorted_bk, pk, side="right")
+    lo = searchsorted_fast(sorted_bk, pk, side="left")
+    hi = searchsorted_fast(sorted_bk, pk, side="right")
     live = iota(np_) < probe.num_rows
     counts = jnp.where(live, hi - lo, 0)
     return lo, counts, bperm, live
@@ -52,7 +52,7 @@ def _expand(probe, build, lo, counts_real, counts_emit, bperm, capacity):
     offsets = jnp.cumsum(counts_emit)
     total = offsets[-1] if np_ > 0 else jnp.asarray(0, jnp.int64)
     out_i = iota(capacity)
-    pidx = jnp.searchsorted(offsets, out_i, side="right")
+    pidx = searchsorted_fast(offsets, out_i, side="right")
     pidx = jnp.clip(pidx, 0, np_ - 1)
     start = offsets[pidx] - counts_emit[pidx]
     k = out_i - start

@@ -35,8 +35,10 @@ def _scatter_ok() -> bool:
 def segment_bounds(gid_sorted: jnp.ndarray, num_segments: int):
     """(starts, ends) of each segment in the sorted gid array."""
     seg = jnp.arange(num_segments, dtype=gid_sorted.dtype)
-    starts = jnp.searchsorted(gid_sorted, seg, side="left")
-    ends = jnp.searchsorted(gid_sorted, seg, side="right")
+    from .common import searchsorted_fast
+
+    starts = searchsorted_fast(gid_sorted, seg, side="left")
+    ends = searchsorted_fast(gid_sorted, seg, side="right")
     return starts, ends
 
 
