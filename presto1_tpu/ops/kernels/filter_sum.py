@@ -31,24 +31,40 @@ LANE = 128
 BLOCK_ROWS = 2048  # rows per grid step (16 int32 tiles)
 
 
-def _kernel(bounds_ref, ship_ref, disc_ref, qty_ref, price_ref, out_ref):
+ACC_SUB = 8  # accumulator block [ACC_SUB, LANE]; slot = grid step mod slots
+
+
+def _kernel3(bounds_ref, ship_ref, disc_ref, qty_ref, price_ref,
+             lo_ref, hi_ref, cnt_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        lo_ref[:] = jnp.zeros((ACC_SUB, LANE), jnp.int32)
+        hi_ref[:] = jnp.zeros((ACC_SUB, LANE), jnp.int32)
+        cnt_ref[:] = jnp.zeros((ACC_SUB, LANE), jnp.int32)
+
     ship = ship_ref[:]
     disc = disc_ref[:]
     qty = qty_ref[:]
     price = price_ref[:]
     mask = (
-        (ship >= bounds_ref[0]) & (ship < bounds_ref[1])
-        & (disc >= bounds_ref[2]) & (disc <= bounds_ref[3])
-        & (qty < bounds_ref[4])
+        (ship >= bounds_ref[0, 0]) & (ship < bounds_ref[0, 1])
+        & (disc >= bounds_ref[0, 2]) & (disc <= bounds_ref[0, 3])
+        & (qty < bounds_ref[0, 4])
     )
     prod = price * disc
     lo = jnp.sum(jnp.where(mask, prod & 0xFFFF, 0))
     hi = jnp.sum(jnp.where(mask, prod >> 16, 0))
     cnt = jnp.sum(mask.astype(jnp.int32))
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
-    out_ref[:] = (jnp.where(lane == 0, lo, 0)
-                  + jnp.where(lane == 1, hi, 0)
-                  + jnp.where(lane == 2, cnt, 0))
+    slots = ACC_SUB * LANE
+    slot = i % slots
+    sub = jax.lax.broadcasted_iota(jnp.int32, (ACC_SUB, LANE), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ACC_SUB, LANE), 1)
+    here = (sub * LANE + lane) == slot
+    lo_ref[:] = lo_ref[:] + jnp.where(here, lo, 0)
+    hi_ref[:] = hi_ref[:] + jnp.where(here, hi, 0)
+    cnt_ref[:] = cnt_ref[:] + jnp.where(here, cnt, 0)
 
 
 def _pad32(x: jnp.ndarray, n_pad: int, fill) -> jnp.ndarray:
@@ -84,21 +100,23 @@ def range_filter_product_sum(ship, disc, qty, price, bounds,
 
     in_spec = pl.BlockSpec((block_sub, LANE), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        _kernel,
+    acc_spec = pl.BlockSpec((ACC_SUB, LANE), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    acc_shape = jax.ShapeDtypeStruct((ACC_SUB, LANE), jnp.int32)
+    lo_a, hi_a, cnt_a = pl.pallas_call(
+        _kernel3,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 5), lambda i: (0, 0), memory_space=pltpu.SMEM),
             in_spec, in_spec, in_spec, in_spec,
         ],
-        out_specs=pl.BlockSpec((1, LANE), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((grid, LANE), jnp.int32),
+        out_specs=(acc_spec, acc_spec, acc_spec),
+        out_shape=(acc_shape, acc_shape, acc_shape),
         interpret=interpret,
-    )(bounds.astype(jnp.int32), shape2d(ship_p), shape2d(disc_p),
+    )(bounds.astype(jnp.int32).reshape(1, 5), shape2d(ship_p), shape2d(disc_p),
       shape2d(qty_p), shape2d(price_p))
 
-    lo = jnp.sum(out[:, 0].astype(jnp.int64))
-    hi = jnp.sum(out[:, 1].astype(jnp.int64))
-    cnt = jnp.sum(out[:, 2].astype(jnp.int64))
+    lo = jnp.sum(lo_a.astype(jnp.int64))
+    hi = jnp.sum(hi_a.astype(jnp.int64))
+    cnt = jnp.sum(cnt_a.astype(jnp.int64))
     return hi * 65536 + lo, cnt
