@@ -165,3 +165,29 @@ def encode_dictionary(values: np.ndarray):
     """
     dictionary, codes = np.unique(np.asarray(values), return_inverse=True)
     return dictionary, codes.astype(np.int32)
+
+
+def concat_batches(a: "RecordBatch", b: "RecordBatch",
+                   capacity: int) -> "RecordBatch":
+    """Concatenate two batches with identical column sets by index
+    arithmetic (scatter-free; rows of ``b`` follow rows of ``a``)."""
+    i = jnp.arange(capacity, dtype=jnp.int64)
+    na = a.num_rows
+    cols = {}
+    for name, ca in a.columns.items():
+        cb = b.columns[name]
+        ia = jnp.clip(i, 0, len(ca) - 1)
+        ib = jnp.clip(i - na, 0, len(cb) - 1)
+        sel = i < na
+        data = jnp.where(sel, jnp.take(ca.data, ia, mode="clip"),
+                         jnp.take(cb.data, ib, mode="clip"))
+        va = (jnp.take(ca.validity, ia, mode="clip")
+              if ca.validity is not None else jnp.ones((capacity,), bool))
+        vb = (jnp.take(cb.validity, ib, mode="clip")
+              if cb.validity is not None else jnp.ones((capacity,), bool))
+        validity = None
+        if ca.validity is not None or cb.validity is not None:
+            validity = jnp.where(sel, va, vb)
+        cols[name] = Column(data, ca.type, validity=validity,
+                            dictionary=ca.dictionary)
+    return RecordBatch(cols, a.num_rows + b.num_rows)

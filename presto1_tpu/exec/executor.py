@@ -321,6 +321,10 @@ class Executor:
             out = self._drop_temp(out)
             return self._shrink(out)
 
+        if node.kind == "full":
+            return self._full_join(node, lb, rb, lkeys, rkeys, ranges,
+                                   residual, rec)
+
         # inner / left
         if self.compiled:
             cap = rec["capacity"]
@@ -341,6 +345,79 @@ class Executor:
             rec["capacity"] = max(cap, rec.get("capacity", 0))
         out = self._drop_temp(out)
         return self._shrink(out)
+
+    def _full_join(self, node, lb, rb, lkeys, rkeys, ranges, residual, rec):
+        """FULL OUTER = left-join pairs ++ right rows with no match
+        (null-extended on the left side)."""
+        from ..batch import concat_batches
+        from ..sql.optimizer import _refs, _split_ir_conjuncts
+
+        if residual is not None:
+            # single-side ON conjuncts fold into key validity: ineligible
+            # rows never match but still emit null-extended (FULL semantics)
+            l_schema, r_schema = set(lb.columns), set(rb.columns)
+            lo_parts, ro_parts = [], []
+            for c in _split_ir_conjuncts(residual):
+                refs = _refs(c)
+                if refs <= l_schema and not (refs & {k for k in r_schema}):
+                    lo_parts.append(c)
+                elif refs <= r_schema:
+                    ro_parts.append(c)
+                else:
+                    raise ExecError(
+                        "FULL JOIN with cross-side residual unsupported")
+
+            def mask_keys(batch, parts, key_names):
+                if not parts:
+                    return batch
+                from ..sql.planner import ir_conjoin as _conj
+                from ..ops.filter import filter_mask
+
+                m = filter_mask(self._bind(_conj(parts), batch), batch)
+                cols = dict(batch.columns)
+                for kname in key_names:
+                    c = cols[kname]
+                    v = m if c.validity is None else (c.validity & m)
+                    cols[kname] = Column(c.data, c.type, validity=v,
+                                         dictionary=c.dictionary)
+                return RecordBatch(cols, batch.num_rows)
+
+            lb = mask_keys(lb, lo_parts, lkeys)
+            rb = mask_keys(rb, ro_parts, rkeys)
+        if self.compiled:
+            cap_l = rec["capacity"]
+            cap_a = rec["anti_capacity"]
+            cap_f = rec["full_capacity"]
+        else:
+            cap_l = round_capacity(max(int(lb.num_rows) * 2, 128))
+            cap_a = round_capacity(max(int(rb.num_rows), 1))
+        while True:
+            pairs = hash_join(lb, rb, lkeys, rkeys, "left", ranges, cap_l)
+            if self.compiled:
+                break
+            total = int(pairs.num_rows)
+            if total <= cap_l:
+                break
+            cap_l = round_capacity(total)
+        anti = hash_join(rb, lb, rkeys, lkeys, "anti", ranges, cap_a)
+        # null-extend the left-side columns on the anti part
+        ext = dict(anti.columns)
+        n_a = anti.capacity()
+        for name, c in lb.columns.items():
+            if name not in ext:
+                ext[name] = Column(
+                    jnp.zeros((n_a,) + c.data.shape[1:], c.data.dtype),
+                    c.type, validity=jnp.zeros((n_a,), bool),
+                    dictionary=c.dictionary)
+        anti_full = RecordBatch({k: ext[k] for k in pairs.columns}, anti.num_rows)
+        if not self.compiled:
+            cap_f = round_capacity(
+                max(int(pairs.num_rows) + int(anti.num_rows), 1))
+            rec["capacity"] = max(cap_l, rec.get("capacity", 0))
+            rec["anti_capacity"] = max(cap_a, rec.get("anti_capacity", 0))
+            rec["full_capacity"] = max(cap_f, rec.get("full_capacity", 0))
+        out = concat_batches(pairs, anti_full, cap_f)
+        return self._shrink(self._drop_temp(out))
 
     def _drop_temp(self, b: RecordBatch) -> RecordBatch:
         cols = {n: c for n, c in b.columns.items() if not n.startswith("__")}

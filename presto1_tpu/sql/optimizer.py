@@ -91,7 +91,7 @@ def _extract_equis(node: LogicalNode) -> LogicalNode:
             if rb <= set(ls) and ra <= set(rs):
                 equis.append((b, a))
                 continue
-        if r <= set(rs):
+        if r <= set(rs) and node.kind != "full":
             right_only.append(c)
             continue
         if r <= set(ls) and node.kind in ("inner", "cross"):

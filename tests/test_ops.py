@@ -237,3 +237,18 @@ def test_scalar_functions():
     assert row[0] == 5 and row[1] == 1 and float(row[2]) == 1.26
     assert row[3] == 4.0 and row[4] == 7 and row[5] == "algeria"
     assert row[6] == 3 and row[7] == 0
+
+
+def test_full_outer_join():
+    from presto1_tpu.exec.catalog import TpchCatalog
+    from presto1_tpu.exec.engine import Engine
+
+    e = Engine(TpchCatalog(sf=0.001))
+    out = e.sql(
+        "select n_name, r_name from nation full outer join region "
+        "on n_regionkey = r_regionkey and r_regionkey < 2 "
+        "order by n_name nulls last, r_name").to_pylist()
+    # 25 nations (those in regions >=2 null-extended) + 3 unmatched regions
+    assert len(out) == 28
+    assert sum(1 for r in out if r[0] is None) == 3
+    assert sum(1 for r in out if r[1] is None) == 15
