@@ -102,6 +102,41 @@ def pack_keys(
     return words[0]
 
 
+_MIX64 = np.uint64(0x9E3779B97F4A7C15).astype(np.int64)
+_MIX_MASK = np.int64((1 << 62) - 1)
+
+
+def mix_key_word(
+    cols: Sequence[Column],
+    ranges: Sequence[Tuple[int, int]],
+    num_rows,
+    mask: Optional[jnp.ndarray] = None,
+    null_high: bool = False,
+) -> jnp.ndarray:
+    """Collision-prone 62-bit mix of wide composite keys (used when the
+    exact packing exceeds 63 bits).  Callers MUST verify candidate matches
+    against the real key columns (hash_join does, via its residual path).
+
+    Dead/invalid rows get sentinels outside the live 62-bit range:
+    INT64_MAX on the build side, -1 on the probe side — they can never
+    collide with live values or each other."""
+    n = len(cols[0])
+    word = jnp.zeros((n,), dtype=jnp.int64)
+    invalid = jnp.zeros((n,), dtype=bool)
+    for c, (lo, hi) in zip(cols, ranges):
+        v = c.data.astype(jnp.int64) - lo + 1
+        if c.validity is not None:
+            invalid = invalid | ~c.validity
+        word = (word * _MIX64) ^ v
+    word = word & _MIX_MASK
+    idx = jnp.arange(n)
+    dead = (idx >= num_rows) | invalid
+    if mask is not None:
+        dead = dead | ~mask
+    sentinel = jnp.asarray(INT64_MAX if null_high else -1, jnp.int64)
+    return jnp.where(dead, sentinel, word)
+
+
 def iota(n: int) -> jnp.ndarray:
     return jnp.arange(n, dtype=jnp.int64)
 

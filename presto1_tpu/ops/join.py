@@ -28,21 +28,36 @@ import jax.numpy as jnp
 from ..batch import Column, RecordBatch
 from ..expr.ir import Expr
 from ..expr.eval import eval_predicate
-from .common import INT64_MAX, iota, pack_keys, searchsorted_fast
+from .common import (
+    INT64_MAX, iota, mix_key_word, pack_key_words, searchsorted_fast,
+)
 from .segments import compact_indices, sorted_segment_sum
 
 
 def _probe_ranges(probe, build, probe_keys, build_keys, ranges):
+    """Returns (lo, counts, bperm, live, needs_verify).  Wide composite
+    keys (>63 bits) fall back to a 62-bit mix whose candidate matches the
+    caller verifies against the real key columns."""
     np_, nb = probe.capacity(), build.capacity()
-    bk = pack_keys([build[k] for k in build_keys], ranges, build.num_rows,
-                   null_high=True)
-    pk = pack_keys([probe[k] for k in probe_keys], ranges, probe.num_rows)
+    bcols = [build[k] for k in build_keys]
+    pcols = [probe[k] for k in probe_keys]
+    widths = 0
+    for lo_, hi_ in ranges:
+        widths += max(int(hi_ - lo_ + 2).bit_length(), 1)
+    if widths <= 63:
+        bk = pack_key_words(bcols, ranges, build.num_rows, null_high=True)[0]
+        pk = pack_key_words(pcols, ranges, probe.num_rows)[0]
+        needs_verify = False
+    else:
+        bk = mix_key_word(bcols, ranges, build.num_rows, null_high=True)
+        pk = mix_key_word(pcols, ranges, probe.num_rows)
+        needs_verify = True
     sorted_bk, bperm = jax.lax.sort((bk, iota(nb)), num_keys=1)
     lo = searchsorted_fast(sorted_bk, pk, side="left")
     hi = searchsorted_fast(sorted_bk, pk, side="right")
     live = iota(np_) < probe.num_rows
     counts = jnp.where(live, hi - lo, 0)
-    return lo, counts, bperm, live
+    return lo, counts, bperm, live, needs_verify
 
 
 def _expand(probe, build, lo, counts_real, counts_emit, bperm, capacity):
@@ -79,8 +94,22 @@ def hash_join(
     residual: Optional[Expr] = None,
     stats: Optional[dict] = None,
 ) -> RecordBatch:
-    lo, counts, bperm, live = _probe_ranges(probe, build, probe_keys, build_keys, ranges)
+    lo, counts, bperm, live, needs_verify = _probe_ranges(
+        probe, build, probe_keys, build_keys, ranges)
     np_ = probe.capacity()
+    if needs_verify:
+        from ..expr.ir import ColumnRef, call as ir_call
+
+        verify = None
+        for pk_name, bk_name in zip(probe_keys, build_keys):
+            eq = ir_call("=", ColumnRef(pk_name, probe[pk_name].type),
+                         ColumnRef(bk_name, build[bk_name].type))
+            verify = eq if verify is None else ir_call("and", verify, eq)
+        residual = verify if residual is None else ir_call(
+            "and", verify, residual)
+        if kind == "left":
+            raise NotImplementedError(
+                "LEFT JOIN on >63-bit composite keys")
 
     if kind in ("semi", "anti") and residual is None:
         hit = counts > 0

@@ -252,3 +252,20 @@ def test_full_outer_join():
     assert len(out) == 28
     assert sum(1 for r in out if r[0] is None) == 3
     assert sum(1 for r in out if r[1] is None) == 15
+
+
+def test_multiword_join_keys():
+    """Composite keys wider than 63 bits: mix-hash + exact verification."""
+    from presto1_tpu.ops import hash_join as hj
+
+    big = 1 << 40
+    probe = make_batch(a=np.array([1, 2, 3, 2]) * big, b=[7, 8, 9, 8],
+                       v=[10, 20, 30, 21])
+    build = make_batch(c=np.array([2, 3]) * big, d=[8, 9], w=[200, 300])
+    ranges = [(0, 3 * big), (0, 9)]
+    out = hj(probe, build, ["a", "b"], ["c", "d"], "inner", ranges, 16)
+    n = int(out.num_rows)
+    assert sorted(zip(out["v"].decode(n), out["w"].decode(n))) == [
+        (20, 200), (21, 200), (30, 300)]
+    anti = hj(probe, build, ["a", "b"], ["c", "d"], "anti", ranges, 16)
+    assert list(anti["v"].decode(int(anti.num_rows))) == [10]
