@@ -87,3 +87,36 @@ def test_engine_distributed_matches_local():
                                    rtol=1e-9, equal_nan=True)
             except (TypeError, ValueError):
                 assert (av == bv).all()
+
+
+def test_distributed_join_matches_local(mesh):
+    """Repartitioned mesh join == single-device join, row for row."""
+    from presto1_tpu.batch import from_numpy, round_capacity
+    from presto1_tpu.ops import hash_join
+    from presto1_tpu.parallel.dist_join import (
+        distributed_hash_join, exchange_quota,
+    )
+    from presto1_tpu.types import BIGINT
+
+    rng = np.random.RandomState(5)
+    np_rows, nb_rows = 4000, 1000
+    pk = rng.randint(0, 1500, np_rows)
+    bk = np.arange(nb_rows)
+    probe = from_numpy({"pk": pk, "pv": np.arange(np_rows)},
+                       dict(pk=BIGINT, pv=BIGINT))
+    build = from_numpy({"bk": bk, "bv": bk * 10}, dict(bk=BIGINT, bv=BIGINT))
+    ranges = [(0, 1500)]
+    pq = exchange_quota(pk, np_rows, 8, round_capacity(np_rows) // 8)
+    bq = exchange_quota(bk, nb_rows, 8, round_capacity(nb_rows) // 8)
+    for kind in ("inner", "semi", "anti"):
+        out = distributed_hash_join(
+            mesh, probe, build, "pk", "bk", kind, ranges,
+            (round_capacity(pq), round_capacity(bq)),
+            round_capacity(np_rows))
+        ref = hash_join(probe, build, ["pk"], ["bk"], kind, ranges,
+                        round_capacity(np_rows * 2))
+        n, rn = int(out.num_rows), int(ref.num_rows)
+        assert n == rn
+        a = sorted(out["pv"].decode(n))
+        b = sorted(ref["pv"].decode(rn))
+        assert a == b
