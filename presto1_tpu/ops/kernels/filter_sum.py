@@ -103,18 +103,22 @@ def range_filter_product_sum(ship, disc, qty, price, bounds,
     acc_spec = pl.BlockSpec((ACC_SUB, LANE), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     acc_shape = jax.ShapeDtypeStruct((ACC_SUB, LANE), jnp.int32)
-    lo_a, hi_a, cnt_a = pl.pallas_call(
-        _kernel3,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((1, 5), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            in_spec, in_spec, in_spec, in_spec,
-        ],
-        out_specs=(acc_spec, acc_spec, acc_spec),
-        out_shape=(acc_shape, acc_shape, acc_shape),
-        interpret=interpret,
-    )(bounds.astype(jnp.int32).reshape(1, 5), shape2d(ship_p), shape2d(disc_p),
-      shape2d(qty_p), shape2d(price_p))
+    # Mosaic is 32-bit; trace the kernel with x64 promotion off so weak
+    # int literals stay int32 (x64-on tracing loops/rejects in lowering)
+    with jax.enable_x64(False):
+        lo_a, hi_a, cnt_a = pl.pallas_call(
+            _kernel3,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((1, 5), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                in_spec, in_spec, in_spec, in_spec,
+            ],
+            out_specs=(acc_spec, acc_spec, acc_spec),
+            out_shape=(acc_shape, acc_shape, acc_shape),
+            interpret=interpret,
+        )(bounds.astype(jnp.int32).reshape(1, 5), shape2d(ship_p),
+          shape2d(disc_p), shape2d(qty_p), shape2d(price_p))
 
     lo = jnp.sum(lo_a.astype(jnp.int64))
     hi = jnp.sum(hi_a.astype(jnp.int64))

@@ -519,20 +519,23 @@ class TpchGenerator:
     # ---- lineitem (generated per (order, slot) then compacted)
 
     def _line_matrix(self, col: str, ostart: int, on: int) -> np.ndarray:
-        """(on, 7) matrix of per-slot values for orders [ostart, ostart+on)."""
-        st = self._s(f"lineitem.{col}", usage=7)
+        """(on, 7) matrix of per-slot values for orders [ostart, ostart+on).
+
+        Stream exponent = order_index * 56 + slot * 8 + draw: translation-
+        invariant, so any order chunk reproduces identical values."""
+        st = self._s(f"lineitem.{col}", usage=56)
         if col == "partkey":
             pmax = self.num_rows("part")
             out = np.empty((on, 7), dtype=np.int64)
             for j in range(7):
-                out[:, j] = st.ints(ostart * 7, on, 1, pmax, k=j * 7)
+                out[:, j] = st.ints(ostart, on, 1, pmax, k=j * 8)
             return out
         if col == "suppkey":
             pk = self._line_matrix("partkey", ostart, on)
             smax = self.num_rows("supplier")
             i = np.empty((on, 7), dtype=np.int64)
             for j in range(7):
-                i[:, j] = st.ints(ostart * 7, on, 0, 3, k=j * 7)
+                i[:, j] = st.ints(ostart, on, 0, 3, k=j * 8)
             return (pk + i * (smax // 4 + (pk - 1) // smax)) % smax + 1
         if col == "quantity":
             return self._slot_ints(st, ostart, on, 1, 50)
@@ -559,7 +562,7 @@ class TpchGenerator:
     def _slot_ints(self, st: Stream, ostart: int, on: int, lo: int, hi: int):
         out = np.empty((on, 7), dtype=np.int64)
         for j in range(7):
-            out[:, j] = st.ints(ostart * 7, on, lo, hi, k=j * 7)
+            out[:, j] = st.ints(ostart, on, lo, hi, k=j * 8)
         return out
 
     def _line_order_range(self, start: int, stop: int):
