@@ -213,7 +213,7 @@ class Engine:
 
         found = find(plan)
         if found is None:
-            return self.sql(sql)
+            return self._sql_distributed_join(sql, plan, n_devices)
         agg_path, agg, filt, scan, scan_path = found
 
         ex = Executor(self.catalog)
@@ -254,4 +254,73 @@ class Engine:
             mesh, primary, columns, specs, below.num_rows, ranges,
             max_groups, mask=mask, carry_names=carry)
         final = Executor(self.catalog, stubs={agg_path: out})
+        return final.execute(plan)
+
+    def _sql_distributed_join(self, sql: str, plan, n_devices: int):
+        """Route the lowest eligible equi-join (single int key, scan-ish
+        inputs) through the mesh exchange; execute the rest eagerly."""
+        import jax
+
+        from ..batch import RecordBatch, round_capacity
+        from ..expr import ir
+        from ..ops.common import key_ranges
+        from ..parallel.dist_join import distributed_hash_join, exchange_quota
+        from ..parallel.distributed import make_mesh
+        from ..sql.logical import Filter as LFilter, Join, Scan
+
+        def scanish(node):
+            return isinstance(node, Scan) or (
+                isinstance(node, LFilter) and isinstance(node.child, Scan))
+
+        def find(node, path=()):
+            for i, c in enumerate(node.children):
+                r = find(c, path + (i,))
+                if r:
+                    return r
+            if (isinstance(node, Join)
+                    and node.kind in ("inner", "semi", "anti")
+                    and len(node.equis) == 1
+                    and scanish(node.left) and scanish(node.right)
+                    and node.residual is None):
+                a, b = node.equis[0]
+                if (isinstance(a, ir.ColumnRef) and isinstance(b, ir.ColumnRef)
+                        and not a.type.is_string):
+                    return path, node
+            return None
+
+        found = find(plan)
+        if found is None:
+            return self.sql(sql)
+        jpath, join = found
+
+        import numpy as np
+
+        ex = Executor(self.catalog)
+        lb = ex.execute(join.left, jpath + (0,))
+        rb = ex.execute(join.right, jpath + (1,))
+        a, b = join.equis[0]
+        lr = key_ranges([lb[a.name]], lb.num_rows)
+        rr = key_ranges([rb[b.name]], rb.num_rows)
+        ranges = [(min(lr[0][0], rr[0][0]), max(lr[0][1], rr[0][1]))]
+        n_dev = n_devices or len(jax.devices())
+        mesh = make_mesh(n_dev)
+        p_shard = max(lb.capacity() // n_dev, 1)
+        b_shard = max(rb.capacity() // n_dev, 1)
+        pq = exchange_quota(np.asarray(lb[a.name].data), lb.num_rows, n_dev,
+                            p_shard)
+        bq = exchange_quota(np.asarray(rb[b.name].data), rb.num_rows, n_dev,
+                            b_shard)
+        pq_r = round_capacity(max(pq, 128))
+        bq_r = round_capacity(max(bq, 128))
+        # per-shard output bound: received probe rows (n_dev * quota),
+        # times a fanout factor for non-unique builds
+        fanout = 1 if (join.build_unique or join.kind in ("semi", "anti")) \
+            else 4
+        local_cap = round_capacity(n_dev * pq_r * fanout)
+        out = distributed_hash_join(
+            mesh, lb, rb, a.name, b.name, join.kind, ranges,
+            (pq_r, bq_r), local_cap)
+        n = int(out.num_rows)
+        out = RecordBatch(out.columns, n)
+        final = Executor(self.catalog, stubs={jpath: out})
         return final.execute(plan)

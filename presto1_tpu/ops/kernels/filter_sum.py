@@ -74,7 +74,30 @@ def _pad32(x: jnp.ndarray, n_pad: int, fill) -> jnp.ndarray:
     return x
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+def _call_kernel(bounds2d, ship2d, disc2d, qty2d, price2d, grid: int,
+                 block_sub: int, interpret: bool):
+    in_spec = pl.BlockSpec((block_sub, LANE), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((ACC_SUB, LANE), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    acc_shape = jax.ShapeDtypeStruct((ACC_SUB, LANE), jnp.int32)
+    return pl.pallas_call(
+        _kernel3,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 5), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            in_spec, in_spec, in_spec, in_spec,
+        ],
+        out_specs=(acc_spec, acc_spec, acc_spec),
+        out_shape=(acc_shape, acc_shape, acc_shape),
+        interpret=interpret,
+    )(bounds2d, ship2d, disc2d, qty2d, price2d)
+
+
+_call_kernel_jit = jax.jit(_call_kernel,
+                           static_argnames=("grid", "block_sub", "interpret"))
+
+
 def range_filter_product_sum(ship, disc, qty, price, bounds,
                              interpret: bool = False):
     """sum(price*disc), count over rows passing the range predicate.
@@ -98,27 +121,14 @@ def range_filter_product_sum(ship, disc, qty, price, bounds,
     def shape2d(x):
         return x.reshape(rows, LANE)
 
-    in_spec = pl.BlockSpec((block_sub, LANE), lambda i: (i, 0),
-                           memory_space=pltpu.VMEM)
-    acc_spec = pl.BlockSpec((ACC_SUB, LANE), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
-    acc_shape = jax.ShapeDtypeStruct((ACC_SUB, LANE), jnp.int32)
-    # Mosaic is 32-bit; trace the kernel with x64 promotion off so weak
-    # int literals stay int32 (x64-on tracing loops/rejects in lowering)
+    # Mosaic is 32-bit: trace the kernel with x64 promotion OFF so weak
+    # int literals stay int32 (the context must wrap the jit call — it
+    # has no effect from inside an outer x64 trace)
     with jax.enable_x64(False):
-        lo_a, hi_a, cnt_a = pl.pallas_call(
-            _kernel3,
-            grid=(grid,),
-            in_specs=[
-                pl.BlockSpec((1, 5), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                in_spec, in_spec, in_spec, in_spec,
-            ],
-            out_specs=(acc_spec, acc_spec, acc_spec),
-            out_shape=(acc_shape, acc_shape, acc_shape),
-            interpret=interpret,
-        )(bounds.astype(jnp.int32).reshape(1, 5), shape2d(ship_p),
-          shape2d(disc_p), shape2d(qty_p), shape2d(price_p))
+        lo_a, hi_a, cnt_a = _call_kernel_jit(
+            bounds.astype(jnp.int32).reshape(1, 5), shape2d(ship_p),
+            shape2d(disc_p), shape2d(qty_p), shape2d(price_p),
+            grid=grid, block_sub=block_sub, interpret=interpret)
 
     lo = jnp.sum(lo_a.astype(jnp.int64))
     hi = jnp.sum(hi_a.astype(jnp.int64))

@@ -147,3 +147,25 @@ def test_skew_aware_join(mesh):
     n, rn = int(out.num_rows), int(ref.num_rows)
     assert n == rn == np_rows  # every probe key matches exactly one build row
     assert sorted(out["pv"].decode(n)) == sorted(ref["pv"].decode(rn))
+
+
+def test_engine_distributed_join_queries():
+    """TPC-H join queries routed through the mesh exchange join."""
+    import numpy as np
+
+    from presto1_tpu.exec.catalog import TpchCatalog
+    from presto1_tpu.exec.engine import Engine
+    from presto1_tpu.tpch.queries import QUERIES
+
+    eng = Engine(TpchCatalog(sf=0.005))
+    for q in (12, 14):
+        a = eng.sql_distributed(QUERIES[q], 8).to_pandas()
+        b = eng.sql(QUERIES[q]).to_pandas()
+        assert a.shape == b.shape
+        for c in a.columns:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            try:
+                assert np.allclose(av.astype(float), bv.astype(float),
+                                   rtol=1e-9, equal_nan=True)
+            except (TypeError, ValueError):
+                assert (av.astype(str) == bv.astype(str)).all()
