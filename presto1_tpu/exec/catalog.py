@@ -63,11 +63,12 @@ class Catalog:
 
 
 class TpchTable(Table):
-    def __init__(self, name: str, gen):
+    def __init__(self, name: str, gen, cache_dir: Optional[str] = None):
         from ..tpch.schema import TABLES
 
         super().__init__(name, TABLES[name])
         self.gen = gen
+        self.cache_dir = cache_dir
         self._num_rows: Optional[int] = None
 
     @property
@@ -76,7 +77,37 @@ class TpchTable(Table):
             self._num_rows = self.gen.num_rows(self.name)
         return self._num_rows
 
+    def _cache_path(self, column: str) -> Optional[str]:
+        if self.cache_dir is None:
+            return None
+        import os
+
+        os.makedirs(self.cache_dir, exist_ok=True)
+        return f"{self.cache_dir}/{self.name}.{column}"
+
     def _load(self, column: str) -> Column:
+        t = self.schema[column]
+        base = self._cache_path(column)
+        if base is not None:
+            import os
+
+            if os.path.exists(base + ".npy"):
+                data = np.load(base + ".npy")
+                dictionary = None
+                if os.path.exists(base + ".dict.npy"):
+                    dictionary = np.load(base + ".dict.npy",
+                                         allow_pickle=True)
+                return Column(jnp.asarray(data), t, dictionary=dictionary)
+        col = self._generate(column)
+        if base is not None:
+            np.save(base + ".npy", np.asarray(col.data))
+            if col.dictionary is not None:
+                np.save(base + ".dict.npy",
+                        np.asarray(col.dictionary, dtype=object),
+                        allow_pickle=True)
+        return col
+
+    def _generate(self, column: str) -> Column:
         from ..tpch.schema import ENUM_VOCABS
 
         t = self.schema[column]
@@ -110,13 +141,19 @@ class TpchCatalog(Catalog):
 
     SCHEMAS = {"tiny": 0.01, "sf1": 1.0, "sf10": 10.0, "sf100": 100.0}
 
-    def __init__(self, schema: str = "tiny", sf: Optional[float] = None):
+    def __init__(self, schema: str = "tiny", sf: Optional[float] = None,
+                 cache_dir: Optional[str] = None):
         from ..tpch.dbgen import TpchGenerator
         from ..tpch.schema import TABLES
+        import os
 
         super().__init__()
         self.sf = sf if sf is not None else self.SCHEMAS[schema]
+        if cache_dir is None:
+            cache_dir = os.environ.get("P1_TPCH_CACHE")
+        if cache_dir:
+            cache_dir = f"{cache_dir}/sf{self.sf:g}"
         gen = TpchGenerator(self.sf)
         self.gen = gen
         for name in TABLES:
-            self.tables[name] = TpchTable(name, gen)
+            self.tables[name] = TpchTable(name, gen, cache_dir)
