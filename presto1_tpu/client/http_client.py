@@ -11,7 +11,7 @@ from __future__ import annotations
 import json
 import time
 import urllib.request
-from typing import Iterator, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 
 class QueryFailed(Exception):

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..batch import Column, RecordBatch
-from ..types import BIGINT, BOOLEAN, DOUBLE, DecimalType, SqlType, VARCHAR
+from ..types import BOOLEAN, DOUBLE, DecimalType, SqlType, VARCHAR
 from .ir import Call, ColumnRef, DictLookup, Expr, Literal, walk
 
 # ------------------------------------------------------------------ values

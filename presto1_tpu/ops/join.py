@@ -20,7 +20,7 @@ replace the searchsorted pair for O(1) probes; the surrounding contract
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

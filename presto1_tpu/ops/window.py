@@ -19,7 +19,7 @@ on the permutation (no scatter anywhere).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -61,7 +61,6 @@ def window(
     perm = out[-1]
 
     def boundaries(words):
-        b = jnp.zeros((n,), dtype=bool).at[0].set(True) if n else None
         b = jnp.concatenate([jnp.ones((1,), bool), jnp.zeros((n - 1,), bool)])
         for w in words:
             prev = jnp.concatenate([jnp.full((1,), -1, jnp.int64), w[:-1]])

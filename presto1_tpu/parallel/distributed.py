@@ -19,7 +19,7 @@ by ``__graft_entry__.dryrun_multichip``.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

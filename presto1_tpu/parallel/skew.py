@@ -17,13 +17,11 @@ cost model only); the north star requires it.  Design:
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..batch import RecordBatch, concat_batches, round_capacity
 from ..ops import hash_join

@@ -43,9 +43,7 @@ def main(argv=None):
     import presto1_tpu  # noqa: F401  (enables x64)
     from ..batch import Column
     from ..ops.hashagg import AggSpec, group_aggregate
-    from ..ops.join import hash_join
     from ..ops.segments import compact_indices
-    from ..batch import RecordBatch
     from ..types import BIGINT, DecimalType
 
     rng = np.random.RandomState(0)
