@@ -65,6 +65,13 @@ class Executor:
         self.stubs = stubs or {}
         self.capture_paths: set = set()
         self.captured: Dict[Path, RecordBatch] = {}
+        self.overflow_checks: List[jnp.ndarray] = []
+
+    def _check_capacity(self, total, capacity: int):
+        """Compiled mode: record a traced guard that the data still fits
+        the discovery-time capacity (silent truncation otherwise)."""
+        if self.compiled and not isinstance(total, int):
+            self.overflow_checks.append(total <= capacity)
 
     # ---- helpers
 
@@ -176,6 +183,7 @@ class Executor:
         else:
             cap = child.capacity()
         out = filter_batch(pred, child, capacity=cap)
+        self._check_capacity(out.num_rows, cap)
         out = self._shrink(out)
         if not self.compiled:
             rec["capacity"] = max(out.capacity(), rec.get("capacity", 0))
@@ -330,6 +338,7 @@ class Executor:
             cap = rec["capacity"]
             out = hash_join(lb, rb, lkeys, rkeys, node.kind, ranges, cap,
                             residual=residual)
+            self._check_capacity(out.num_rows, cap)
         else:
             if node.build_unique:
                 cap = round_capacity(max(int(lb.num_rows), 1))
@@ -514,6 +523,7 @@ class Executor:
                 offset = offset + counts[k]
             cols[sym] = Column(data, t, validity=validity,
                                dictionary=dictionary)
+        self._check_capacity(total, cap)
         return self._shrink(RecordBatch(cols, total))
 
     def _x_Limit(self, node: Limit, path: Path) -> RecordBatch:
@@ -621,7 +631,10 @@ class CompiledQuery:
                     validity = {n: c.validity
                                 for n, c in out.columns.items()
                                 if c.validity is not None}
-                    return data, validity, out.num_rows
+                    ok = jnp.asarray(True)
+                    for chk in ex.overflow_checks:
+                        ok = ok & chk
+                    return data, validity, out.num_rows, ok
 
                 return fn
 
@@ -630,20 +643,27 @@ class CompiledQuery:
 
     def _run(self):
         results: Dict[Path, tuple] = {}
+        oks = []
         for root, child_roots, jfn in self._stages:
             frag_inputs = {}
             for cr in child_roots:
-                data, validity, n = results[cr]
+                data, validity, n, _ = results[cr]
                 for nm, _, _, _ in self._meta[cr]:
                     frag_inputs[_k(cr, nm, "d")] = data[nm]
                     if nm in validity:
                         frag_inputs[_k(cr, nm, "v")] = validity[nm]
                 frag_inputs[_k(cr, "", "n")] = n
             results[root] = jfn(self.inputs, frag_inputs)
-        return results[()]
+            oks.append(results[root][3])
+        data, validity, num_rows, _ = results[()]
+        return data, validity, num_rows, oks
 
     def __call__(self) -> RecordBatch:
-        data, validity, num_rows = self._run()
+        data, validity, num_rows, oks = self._run()
+        if not all(bool(o) for o in oks):
+            raise ExecError(
+                "compiled-plan buffer overflow: data outgrew the "
+                "discovery-time capacities — re-run Engine.compile()")
         cols = {
             nm: Column(data[nm], t, validity=validity.get(nm), dictionary=dic)
             for (nm, t, dic, _) in self._meta[()]
@@ -653,6 +673,6 @@ class CompiledQuery:
 
     def block_run(self):
         """Execute and block until complete (for benchmarking)."""
-        data, validity, num_rows = self._run()
+        data, validity, num_rows, oks = self._run()
         jax.block_until_ready(data)
         return num_rows
