@@ -28,6 +28,7 @@ class Engine:
         self.catalog = catalog
         self.session = session or Session()
         self.events = events or EventBus()
+        self._compiled_cache: dict = {}
 
     def plan(self, sql: str) -> LogicalNode:
         q = sql_parser.parse(sql)
@@ -47,8 +48,17 @@ class Engine:
                                     self.session.user))
         t0 = time.time()
         try:
-            plan = self.plan(sql)
-            out = Executor(self.catalog, stats=stats).execute(plan)
+            if self.session.get("compile_queries") and stats is None:
+                # plan-cache path (the reference caches plans per query
+                # shape; here the cached artifact is the compiled fragments)
+                cq = self._compiled_cache.get(sql)
+                if cq is None:
+                    cq = self.compile(sql)
+                    self._compiled_cache[sql] = cq
+                out = cq()
+            else:
+                plan = self.plan(sql)
+                out = Executor(self.catalog, stats=stats).execute(plan)
             rows = out.num_rows if isinstance(out.num_rows, int) \
                 else int(out.num_rows)
         except Exception as e:
@@ -76,6 +86,26 @@ class Engine:
         from .memory_catalog import MemoryTable
 
         stmt = parse_statement(sql)
+        if isinstance(stmt, ast.Explain):
+            import jax.numpy as jnp
+
+            from ..batch import Column, RecordBatch
+            from ..sql.logical import plan_tree
+            from ..types import VARCHAR
+            import numpy as np
+
+            if stmt.analyze:
+                inner = sql[sql.lower().index("analyze") + len("analyze"):]
+                text = self.explain_analyze(inner)
+            else:
+                inner = sql[sql.lower().index("explain") + len("explain"):]
+                text = plan_tree(self.plan(inner))
+            lines = np.array(text.split("\n"), dtype=object)
+            dictionary, codes = np.unique(lines.astype("U"),
+                                          return_inverse=True)
+            return RecordBatch(
+                {"plan": Column(jnp.asarray(codes.astype(np.int32)), VARCHAR,
+                                dictionary=dictionary)}, len(lines))
         if isinstance(stmt, ast.Query):
             return self.sql(sql)
         if isinstance(stmt, ast.CreateTable):

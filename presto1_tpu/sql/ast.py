@@ -251,3 +251,9 @@ class InsertInto(Node):
 @dataclass
 class DropTable(Node):
     name: str
+
+
+@dataclass
+class Explain(Node):
+    query: Query
+    analyze: bool = False

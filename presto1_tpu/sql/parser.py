@@ -34,7 +34,7 @@ KEYWORDS = {
     "full", "outer", "cross", "on", "distinct", "asc", "desc", "with",
     "union", "all", "nulls", "first", "last", "true", "false", "for",
     "create", "table", "insert", "into", "values", "drop",
-    "over", "partition",
+    "over", "partition", "explain", "analyze",
 }
 
 
@@ -119,6 +119,13 @@ class Parser:
 
     def parse_statement(self):
         t = self.peek()
+        if t.kind == "kw" and t.value == "explain":
+            self.next()
+            analyze = bool(self.kw("analyze"))
+            q = self._query()
+            self.accept("op", ";")
+            self.expect("eof")
+            return ast.Explain(q, analyze)
         if t.kind == "kw" and t.value == "create":
             self.next()
             self.expect("kw", "table")
