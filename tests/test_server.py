@@ -61,3 +61,25 @@ def test_events():
     engine.sql("select 1 x from region limit 1")
     kinds = [e.kind for e in seen]
     assert kinds == ["created", "completed"]
+
+
+def test_explain_statement():
+    engine = Engine(TpchCatalog(sf=0.001))
+    out = engine.execute_statement(
+        "explain select count(*) from lineitem where l_quantity < 10")
+    text = "\n".join(r[0] for r in out.to_pylist())
+    assert "Aggregate" in text and "Filter" in text
+    out = engine.execute_statement("explain analyze select count(*) from region")
+    assert out.num_rows >= 3
+
+
+def test_compiled_plan_cache():
+    from presto1_tpu.exec.session import Session
+
+    s = Session()
+    s.set("compile_queries", True)
+    engine = Engine(TpchCatalog(sf=0.001), session=s)
+    r1 = engine.sql("select count(*) c from orders").to_pylist()
+    r2 = engine.sql("select count(*) c from orders").to_pylist()
+    assert r1 == r2
+    assert len(engine._compiled_cache) == 1
