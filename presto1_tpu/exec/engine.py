@@ -211,146 +211,133 @@ class Engine:
         return CompiledQuery(self.catalog, self.plan(sql))
 
     def sql_distributed(self, sql: str, n_devices: int = 0):
-        """Execute with the aggregation stage sharded over the device mesh
-        (partial→final split, the FIXED_HASH exchange analog).  Falls back
-        to single-device execution when the plan shape isn't yet covered
-        by the distributed path."""
+        """Execute with every eligible heavy stage sharded over the device
+        mesh: single-key equi-joins run as repartitioned exchanges
+        (FIXED_HASH), and scan-rooted aggregations run partial→final.
+        Stages compose bottom-up via fragment stubs; ineligible stages
+        fall back to single-device operators."""
         import jax
-
-        from ..batch import round_capacity
-        from ..expr.eval import eval_expr
-        from ..ops.common import key_ranges
-        from ..ops.filter import filter_mask
-        from ..parallel.dist_agg import distributed_group_aggregate
-        from ..parallel.distributed import make_mesh
-        from ..sql.logical import Aggregate, Filter as LFilter, Scan
-
-        plan = self.plan(sql)
-
-        def find(node, path=()):
-            if isinstance(node, Aggregate) and node.group:
-                ch = node.child
-                if isinstance(ch, Scan):
-                    return path, node, None, ch, path + (0,)
-                if isinstance(ch, LFilter) and isinstance(ch.child, Scan):
-                    return path, node, ch, ch.child, path + (0, 0)
-                return None
-            for i, c in enumerate(node.children):
-                r = find(c, path + (i,))
-                if r:
-                    return r
-            return None
-
-        found = find(plan)
-        if found is None:
-            return self._sql_distributed_join(sql, plan, n_devices)
-        agg_path, agg, filt, scan, scan_path = found
-
-        ex = Executor(self.catalog)
-        below = ex.execute(scan, scan_path)
-        mask = None
-        if filt is not None:
-            from ..expr.eval import bind_string_ops
-
-            dicts = {n: c.dictionary for n, c in below.columns.items()
-                     if c.dictionary is not None}
-            mask = filter_mask(bind_string_ops(filt.predicate, dicts), below)
-        from ..ops.hashagg import AggSpec
-
-        dicts = {n: c.dictionary for n, c in below.columns.items()
-                 if c.dictionary is not None}
-        from ..expr.eval import bind_string_ops
-
-        specs = [
-            AggSpec(a.fn,
-                    None if a.arg is None
-                    else eval_expr(bind_string_ops(a.arg, dicts), below),
-                    a.symbol)
-            for a in agg.aggs
-        ]
-        primary = agg.primary or agg.group
-        carry = [s for s in agg.group if s not in primary]
-        key_cols = [below[s] for s in primary]
-        ranges = key_ranges(key_cols, below.num_rows)
-        span = 1
-        for lo, hi in ranges:
-            span *= (hi - lo + 2)
-            if span > below.num_rows:
-                break
-        max_groups = round_capacity(min(below.num_rows, span))
-        mesh = make_mesh(n_devices or len(jax.devices()))
-        columns = {s: below[s] for s in agg.group}
-        out = distributed_group_aggregate(
-            mesh, primary, columns, specs, below.num_rows, ranges,
-            max_groups, mask=mask, carry_names=carry)
-        final = Executor(self.catalog, stubs={agg_path: out})
-        return final.execute(plan)
-
-    def _sql_distributed_join(self, sql: str, plan, n_devices: int):
-        """Route the lowest eligible equi-join (single int key, scan-ish
-        inputs) through the mesh exchange; execute the rest eagerly."""
-        import jax
+        import numpy as np
 
         from ..batch import RecordBatch, round_capacity
         from ..expr import ir
+        from ..expr.eval import bind_string_ops, eval_expr
         from ..ops.common import key_ranges
+        from ..ops.filter import filter_mask
+        from ..ops.hashagg import AggSpec
+        from ..parallel.dist_agg import distributed_group_aggregate
         from ..parallel.dist_join import distributed_hash_join, exchange_quota
         from ..parallel.distributed import make_mesh
-        from ..sql.logical import Filter as LFilter, Join, Scan
+        from ..sql.logical import Aggregate, Filter as LFilter, Join, Scan
 
-        def scanish(node):
-            return isinstance(node, Scan) or (
-                isinstance(node, LFilter) and isinstance(node.child, Scan))
+        plan = self.plan(sql)
+        n_dev = n_devices or len(jax.devices())
+        mesh = make_mesh(n_dev)
+        stubs: dict = {}
+
+        def ready(node, path):
+            return (path in stubs or isinstance(node, Scan)
+                    or (isinstance(node, LFilter)
+                        and isinstance(node.child, Scan)))
 
         def find(node, path=()):
+            """Deepest eligible distributable stage not yet stubbed."""
             for i, c in enumerate(node.children):
                 r = find(c, path + (i,))
                 if r:
                     return r
+            if path in stubs:
+                return None
             if (isinstance(node, Join)
                     and node.kind in ("inner", "semi", "anti")
-                    and len(node.equis) == 1
-                    and scanish(node.left) and scanish(node.right)
-                    and node.residual is None):
+                    and len(node.equis) == 1 and node.residual is None
+                    and ready(node.left, path + (0,))
+                    and ready(node.right, path + (1,))):
                 a, b = node.equis[0]
                 if (isinstance(a, ir.ColumnRef) and isinstance(b, ir.ColumnRef)
                         and not a.type.is_string):
-                    return path, node
+                    return "join", path, node
+            if (isinstance(node, Aggregate) and node.group
+                    and (ready(node.child, path + (0,))
+                         or (isinstance(node.child, LFilter)
+                             and ready(node.child.child, path + (0, 0))))):
+                return "agg", path, node
             return None
 
-        found = find(plan)
-        if found is None:
+        def dicts_of(batch):
+            return {n: c.dictionary for n, c in batch.columns.items()
+                    if c.dictionary is not None}
+
+        while True:
+            found = find(plan)
+            if not found:
+                break
+            kind, path, node = found
+            ex = Executor(self.catalog, stubs=stubs)
+            if kind == "join":
+                lb = ex.execute(node.left, path + (0,))
+                rb = ex.execute(node.right, path + (1,))
+                a, b = node.equis[0]
+                lr = key_ranges([lb[a.name]], lb.num_rows)
+                rr = key_ranges([rb[b.name]], rb.num_rows)
+                ranges = [(min(lr[0][0], rr[0][0]),
+                           max(lr[0][1], rr[0][1]))]
+                p_shard = max(lb.capacity() // n_dev, 1)
+                b_shard = max(rb.capacity() // n_dev, 1)
+                pq = exchange_quota(np.asarray(lb[a.name].data),
+                                    lb.num_rows, n_dev, p_shard)
+                bq = exchange_quota(np.asarray(rb[b.name].data),
+                                    rb.num_rows, n_dev, b_shard)
+                pq_r = round_capacity(max(pq, 128))
+                bq_r = round_capacity(max(bq, 128))
+                fanout = 1 if (node.build_unique
+                               or node.kind in ("semi", "anti")) else 4
+                local_cap = round_capacity(n_dev * pq_r * fanout)
+                out = distributed_hash_join(
+                    mesh, lb, rb, a.name, b.name, node.kind, ranges,
+                    (pq_r, bq_r), local_cap)
+                out = RecordBatch(out.columns, int(out.num_rows))
+            else:
+                filt = None
+                child_node = node.child
+                child_path = path + (0,)
+                if isinstance(child_node, LFilter) and \
+                        child_path not in stubs:
+                    filt = child_node
+                    child_node = child_node.child
+                    child_path = path + (0, 0)
+                below = ex.execute(child_node, child_path)
+                mask = None
+                if filt is not None:
+                    mask = filter_mask(
+                        bind_string_ops(filt.predicate, dicts_of(below)),
+                        below)
+                specs = [
+                    AggSpec(a.fn,
+                            None if a.arg is None else eval_expr(
+                                bind_string_ops(a.arg, dicts_of(below)),
+                                below),
+                            a.symbol)
+                    for a in node.aggs
+                ]
+                primary = node.primary or node.group
+                carry = [s for s in node.group if s not in primary]
+                ranges = key_ranges([below[s] for s in primary],
+                                    below.num_rows)
+                span = 1
+                for lo, hi in ranges:
+                    span *= (hi - lo + 2)
+                    if span > below.num_rows:
+                        break
+                max_groups = round_capacity(min(below.num_rows, span))
+                out = distributed_group_aggregate(
+                    mesh, primary, {s: below[s] for s in node.group},
+                    specs, below.num_rows, ranges, max_groups, mask=mask,
+                    carry_names=carry)
+                out = RecordBatch(out.columns, int(out.num_rows))
+            stubs[path] = out
+
+        if not stubs:
             return self.sql(sql)
-        jpath, join = found
+        return Executor(self.catalog, stubs=stubs).execute(plan)
 
-        import numpy as np
-
-        ex = Executor(self.catalog)
-        lb = ex.execute(join.left, jpath + (0,))
-        rb = ex.execute(join.right, jpath + (1,))
-        a, b = join.equis[0]
-        lr = key_ranges([lb[a.name]], lb.num_rows)
-        rr = key_ranges([rb[b.name]], rb.num_rows)
-        ranges = [(min(lr[0][0], rr[0][0]), max(lr[0][1], rr[0][1]))]
-        n_dev = n_devices or len(jax.devices())
-        mesh = make_mesh(n_dev)
-        p_shard = max(lb.capacity() // n_dev, 1)
-        b_shard = max(rb.capacity() // n_dev, 1)
-        pq = exchange_quota(np.asarray(lb[a.name].data), lb.num_rows, n_dev,
-                            p_shard)
-        bq = exchange_quota(np.asarray(rb[b.name].data), rb.num_rows, n_dev,
-                            b_shard)
-        pq_r = round_capacity(max(pq, 128))
-        bq_r = round_capacity(max(bq, 128))
-        # per-shard output bound: received probe rows (n_dev * quota),
-        # times a fanout factor for non-unique builds
-        fanout = 1 if (join.build_unique or join.kind in ("semi", "anti")) \
-            else 4
-        local_cap = round_capacity(n_dev * pq_r * fanout)
-        out = distributed_hash_join(
-            mesh, lb, rb, a.name, b.name, join.kind, ranges,
-            (pq_r, bq_r), local_cap)
-        n = int(out.num_rows)
-        out = RecordBatch(out.columns, n)
-        final = Executor(self.catalog, stubs={jpath: out})
-        return final.execute(plan)

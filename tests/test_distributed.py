@@ -67,26 +67,19 @@ def test_exchange_roundtrip(mesh):
 
 
 def test_engine_distributed_matches_local():
-    """End-to-end: TPC-H queries with the aggregation stage sharded over
-    the 8-device mesh must match single-device results exactly."""
-    import numpy as np
-
+    """End-to-end: TPC-H stages sharded over the 8-device mesh (partial/
+    final aggregation + repartitioned joins, composed via stubs) must
+    match single-device results row for row."""
     from presto1_tpu.exec.catalog import TpchCatalog
     from presto1_tpu.exec.engine import Engine
+    from presto1_tpu.testing.verifier import compare_frames
     from presto1_tpu.tpch.queries import QUERIES
 
     eng = Engine(TpchCatalog(sf=0.005))
-    for q in (1, 4, 12):
+    for q in (1, 3, 4, 5, 12):
         a = eng.sql_distributed(QUERIES[q], 8).to_pandas()
         b = eng.sql(QUERIES[q]).to_pandas()
-        assert a.shape == b.shape
-        for c in a.columns:
-            av, bv = a[c].to_numpy(), b[c].to_numpy()
-            try:
-                assert np.allclose(av.astype(float), bv.astype(float),
-                                   rtol=1e-9, equal_nan=True)
-            except (TypeError, ValueError):
-                assert (av == bv).all()
+        assert compare_frames(a, b) is None, f"Q{q}"
 
 
 def test_distributed_join_matches_local(mesh):
@@ -151,21 +144,13 @@ def test_skew_aware_join(mesh):
 
 def test_engine_distributed_join_queries():
     """TPC-H join queries routed through the mesh exchange join."""
-    import numpy as np
-
     from presto1_tpu.exec.catalog import TpchCatalog
     from presto1_tpu.exec.engine import Engine
+    from presto1_tpu.testing.verifier import compare_frames
     from presto1_tpu.tpch.queries import QUERIES
 
     eng = Engine(TpchCatalog(sf=0.005))
-    for q in (12, 14):
+    for q in (14, 18):
         a = eng.sql_distributed(QUERIES[q], 8).to_pandas()
         b = eng.sql(QUERIES[q]).to_pandas()
-        assert a.shape == b.shape
-        for c in a.columns:
-            av, bv = a[c].to_numpy(), b[c].to_numpy()
-            try:
-                assert np.allclose(av.astype(float), bv.astype(float),
-                                   rtol=1e-9, equal_nan=True)
-            except (TypeError, ValueError):
-                assert (av.astype(str) == bv.astype(str)).all()
+        assert compare_frames(a, b) is None, f"Q{q}"
