@@ -48,6 +48,13 @@ from ..sql.logical import (
 Path = Tuple[int, ...]
 
 
+def _has_cpu() -> bool:
+    try:
+        return len(jax.devices("cpu")) > 0
+    except RuntimeError:
+        return False
+
+
 class ExecError(Exception):
     pass
 
@@ -560,6 +567,47 @@ def _k(path: Path, name: str, kind: str) -> str:
     return f"{'/'.join(map(str, path))}|{name}|{kind}"
 
 
+class _CpuTableProxy:
+    """Table whose columns are CPU-device copies (for CPU-side discovery)."""
+
+    def __init__(self, table, cpu_dev):
+        self._table = table
+        self._cpu = cpu_dev
+        self._cache: Dict[str, Column] = {}
+        self.num_rows = table.num_rows
+        self.schema = table.schema
+
+    def column(self, name: str) -> Column:
+        if name not in self._cache:
+            c = self._table.column(name)
+            self._cache[name] = Column(
+                jax.device_put(np.asarray(c.data), self._cpu), c.type,
+                validity=None if c.validity is None
+                else jax.device_put(np.asarray(c.validity), self._cpu),
+                dictionary=c.dictionary)
+        return self._cache[name]
+
+    def batch(self, columns=None):
+        cols = columns if columns is not None else list(self.schema)
+        return RecordBatch({c: self.column(c) for c in cols}, self.num_rows)
+
+
+class _CpuCatalogProxy:
+    def __init__(self, catalog, cpu_dev):
+        self._catalog = catalog
+        self._cpu = cpu_dev
+        self._tables: Dict[str, _CpuTableProxy] = {}
+
+    def table(self, name: str):
+        if name not in self._tables:
+            self._tables[name] = _CpuTableProxy(
+                self._catalog.table(name), self._cpu)
+        return self._tables[name]
+
+    def __contains__(self, name):
+        return name in self._catalog
+
+
 class CompiledQuery:
     """A query pipeline compiled into a handful of XLA programs.
 
@@ -578,9 +626,22 @@ class CompiledQuery:
 
         roots = sorted(set(_fragment_roots(plan)), key=len, reverse=True) \
             if granularity == "fragment" else [()]
-        discoverer = Executor(catalog)
-        discoverer.capture_paths = set(roots)
-        discoverer.execute(plan)
+        # discovery (capacity/range recording) runs on CPU when the default
+        # backend is an accelerator: the recorded values are data-dependent,
+        # not device-dependent, and CPU compiles are ~100x faster
+        from ..ops.common import backend_override
+
+        cpu_devs = [d for d in jax.devices("cpu")] if _has_cpu() else []
+        if jax.default_backend() != "cpu" and cpu_devs:
+            disc_catalog = _CpuCatalogProxy(catalog, cpu_devs[0])
+            with backend_override("cpu"), jax.default_device(cpu_devs[0]):
+                discoverer = Executor(disc_catalog)
+                discoverer.capture_paths = set(roots)
+                discoverer.execute(plan)
+        else:
+            discoverer = Executor(catalog)
+            discoverer.capture_paths = set(roots)
+            discoverer.execute(plan)
         self.record = discoverer.record
         self.inputs = discoverer.scan_inputs(plan)
         self._meta: Dict[Path, list] = {}

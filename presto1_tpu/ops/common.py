@@ -18,6 +18,27 @@ from ..batch import Column
 
 INT64_MAX = np.iinfo(np.int64).max
 
+# trace-time backend override (CPU discovery under a TPU default backend)
+_BACKEND_OVERRIDE = [None]
+
+
+def effective_backend() -> str:
+    import jax
+
+    return _BACKEND_OVERRIDE[0] or jax.default_backend()
+
+
+class backend_override:
+    def __init__(self, name):
+        self.name = name
+
+    def __enter__(self):
+        self.prev = _BACKEND_OVERRIDE[0]
+        _BACKEND_OVERRIDE[0] = self.name
+
+    def __exit__(self, *a):
+        _BACKEND_OVERRIDE[0] = self.prev
+
 
 def key_ranges(cols: Sequence[Column], num_rows) -> List[Tuple[int, int]]:
     """Host-synced (min, max) per key column over the first num_rows rows.
@@ -145,7 +166,5 @@ def searchsorted_fast(a: jnp.ndarray, v: jnp.ndarray, side: str = "left"):
     """Backend-aware searchsorted: XLA:TPU executes the default binary-
     search ('scan') method orders of magnitude slower than the co-sorting
     lowering, so pick per backend at trace time."""
-    import jax
-
-    method = "sort" if jax.default_backend() != "cpu" else "scan"
+    method = "sort" if effective_backend() != "cpu" else "scan"
     return jnp.searchsorted(a, v, side=side, method=method)

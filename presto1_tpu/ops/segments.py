@@ -29,7 +29,9 @@ _BLK = 128  # capacities are always multiples of 128 (batch.round_capacity)
 def _scatter_ok() -> bool:
     """XLA:CPU lowers scatter/nonzero efficiently; XLA:TPU serializes them.
     Checked at trace time — picks the right lowering per backend."""
-    return jax.default_backend() == "cpu"
+    from .common import effective_backend
+
+    return effective_backend() == "cpu"
 
 
 def segment_bounds(gid_sorted: jnp.ndarray, num_segments: int):
