@@ -714,8 +714,14 @@ class CompiledQuery:
                     if nm in validity:
                         frag_inputs[_k(cr, nm, "v")] = validity[nm]
                 frag_inputs[_k(cr, "", "n")] = n
-            results[root] = jfn(self.inputs, frag_inputs)
-            oks.append(results[root][3])
+                # each fragment output has exactly one consumer — free the
+                # HBM buffers as soon as they are wired in (holding every
+                # intermediate alive thrashes device memory at SF10+)
+                del results[cr]
+            out = jfn(self.inputs, frag_inputs)
+            del frag_inputs
+            results[root] = out
+            oks.append(out[3])
         data, validity, num_rows, _ = results[()]
         return data, validity, num_rows, oks
 
