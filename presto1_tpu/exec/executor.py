@@ -739,7 +739,13 @@ class CompiledQuery:
         return RecordBatch(cols, n)
 
     def block_run(self):
-        """Execute and block until complete (for benchmarking)."""
+        """Execute and block until complete (for benchmarking).
+
+        Forces a host readback of the row count: through remote-device
+        tunnels `block_until_ready` can return before execution, so a
+        scalar fetch is the only reliable completion barrier."""
         data, validity, num_rows, oks = self._run()
         jax.block_until_ready(data)
+        if not isinstance(num_rows, int):
+            num_rows = int(num_rows)
         return num_rows
