@@ -102,7 +102,8 @@ def q6(t):
     d = li[(li.l_shipdate >= D("1994-01-01")) & (li.l_shipdate < D("1995-01-01"))
            & (li.l_discount >= 0.05 - 1e-9) & (li.l_discount <= 0.07 + 1e-9)
            & (li.l_quantity < 24)]
-    return pd.DataFrame({"revenue": [(d.l_extendedprice * d.l_discount).sum()]})
+    return pd.DataFrame({"revenue": [
+        (d.l_extendedprice * d.l_discount).sum() if len(d) else None]})
 
 
 def q7(t):
@@ -268,7 +269,8 @@ def q17(t):
     j = li.merge(p, left_on="l_partkey", right_on="p_partkey")
     j = j.join(avg, on="l_partkey")
     j = j[j.l_quantity < 0.2 * j.avgq]
-    return pd.DataFrame({"avg_yearly": [j.l_extendedprice.sum() / 7.0]})
+    return pd.DataFrame({"avg_yearly": [
+        j.l_extendedprice.sum() / 7.0 if len(j) else None]})
 
 
 def q18(t):
@@ -302,7 +304,7 @@ def q19(t):
           & (j.l_quantity >= 20) & (j.l_quantity <= 30)
           & (j.p_size >= 1) & (j.p_size <= 15))
     d = j[base & (c1 | c2 | c3)]
-    return pd.DataFrame({"revenue": [rev(d).sum()]})
+    return pd.DataFrame({"revenue": [rev(d).sum() if len(d) else None]})
 
 
 def q20(t):
