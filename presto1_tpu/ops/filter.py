@@ -35,13 +35,42 @@ def filter_mask(predicate: Expr, batch: RecordBatch) -> jnp.ndarray:
 
 def compact(batch: RecordBatch, mask: jnp.ndarray,
             capacity: Optional[int] = None) -> RecordBatch:
-    """Stable-compact rows where mask is True into a padded batch
-    (sort-based — see ops/segments.py on why not scatter/nonzero)."""
-    from .segments import compact_indices
+    """Stable-compact rows where mask is True into a padded batch.
+
+    TPU: one stable payload sort moves every column (gathers are
+    latency-bound and ~24x slower); CPU keeps nonzero+take."""
+    from .segments import _scatter_ok, compact_indices
 
     cap = capacity if capacity is not None else batch.capacity()
-    idx, count = compact_indices(mask, cap)
-    return batch.gather(idx, count)
+    if _scatter_ok():
+        idx, count = compact_indices(mask, cap)
+        return batch.gather(idx, count)
+    import jax
+
+    n = batch.capacity()
+    key = (~mask).astype(jnp.int8)
+    names = list(batch.columns.keys())
+    payload = []
+    for nm in names:
+        c = batch[nm]
+        payload.append(c.data)
+        if c.validity is not None:
+            payload.append(c.validity.astype(jnp.int8))
+    out = jax.lax.sort(tuple([key] + payload), num_keys=1)
+    sorted_payload = list(out[1:])
+    count = jnp.sum(mask)
+    cols = {}
+    i = 0
+    for nm in names:
+        c = batch[nm]
+        data = sorted_payload[i][:cap]
+        i += 1
+        validity = None
+        if c.validity is not None:
+            validity = sorted_payload[i][:cap].astype(bool)
+            i += 1
+        cols[nm] = c.with_data(data, validity)
+    return RecordBatch(cols, count)
 
 
 def filter_batch(predicate: Expr, batch: RecordBatch,

@@ -75,11 +75,10 @@ def _expand(probe, build, lo, counts_real, counts_emit, bperm, capacity):
     bpos = jnp.take(bperm, jnp.clip(lo[pidx] + k, 0, max(nb - 1, 0)), mode="clip")
     out_live = out_i < total
 
-    cols = {}
-    for name, c in probe.columns.items():
-        cols[name] = c.gather(pidx)
-    for name, c in build.columns.items():
-        cols[name] = c.gather(bpos, valid=matched)
+    from ..batch import gather_columns
+
+    cols = gather_columns(probe.columns, pidx)
+    cols.update(gather_columns(build.columns, bpos, valid=matched))
     return RecordBatch(cols, total), pidx, matched, out_live, offsets
 
 
@@ -172,14 +171,13 @@ def cross_join(probe: RecordBatch, build: RecordBatch, capacity: int) -> RecordB
             cols[name] = Column(data, c.type, validity=validity,
                                 dictionary=c.dictionary)
         return RecordBatch(cols, probe.num_rows)
+    from ..batch import gather_columns
+
     nb = build.capacity()
     out_i = iota(capacity)
     pidx = jnp.clip(out_i // nb_rows, 0, np_ - 1)
     bpos = out_i % jnp.maximum(nb_rows, 1)
     total = probe.num_rows * nb_rows
-    cols = {}
-    for name, c in probe.columns.items():
-        cols[name] = c.gather(pidx)
-    for name, c in build.columns.items():
-        cols[name] = c.gather(jnp.clip(bpos, 0, nb - 1))
+    cols = gather_columns(probe.columns, pidx)
+    cols.update(gather_columns(build.columns, jnp.clip(bpos, 0, nb - 1)))
     return RecordBatch(cols, total)
