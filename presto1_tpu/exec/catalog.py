@@ -35,8 +35,25 @@ class Table:
 
     def column(self, name: str) -> Column:
         if name not in self._cache:
-            self._cache[name] = self._load(name)
+            # pin materialisation to the process-default device: an ambient
+            # ``jax.default_device(cpu)`` (CPU-side discovery) must never
+            # poison the shared cache with host-committed arrays — compiled
+            # queries would then re-upload every scan column on every run
+            import jax
+
+            with jax.default_device(jax.devices()[0]):
+                self._cache[name] = self._load(name)
         return self._cache[name]
+
+    def host_column(self, name: str) -> Column:
+        """Column backed by host (numpy) data — for CPU-side discovery.
+        Subclasses with a host-native loader override this to avoid a
+        device->host readback."""
+        c = self.column(name)
+        return Column(
+            np.asarray(c.data), c.type,
+            validity=None if c.validity is None else np.asarray(c.validity),
+            dictionary=c.dictionary)
 
     def batch(self, columns: Optional[List[str]] = None) -> RecordBatch:
         cols = columns if columns is not None else self.column_order
@@ -86,6 +103,11 @@ class TpchTable(Table):
         return f"{self.cache_dir}/{self.name}.{column}"
 
     def _load(self, column: str) -> Column:
+        c = self.host_column(column)
+        return Column(jnp.asarray(c.data), c.type, dictionary=c.dictionary)
+
+    def host_column(self, column: str) -> Column:
+        """Host-native load (disk cache or dbgen) — no device involved."""
         t = self.schema[column]
         base = self._cache_path(column)
         if base is not None:
@@ -97,7 +119,7 @@ class TpchTable(Table):
                 if os.path.exists(base + ".dict.npy"):
                     dictionary = np.load(base + ".dict.npy",
                                          allow_pickle=True)
-                return Column(jnp.asarray(data), t, dictionary=dictionary)
+                return Column(data, t, dictionary=dictionary)
         col = self._generate(column)
         if base is not None:
             np.save(base + ".npy", np.asarray(col.data))
@@ -120,7 +142,7 @@ class TpchTable(Table):
                 res = native.dict_encode_packed(*packed)
                 if res is not None:
                     dictionary, codes = res
-                    return Column(jnp.asarray(codes), t, dictionary=dictionary)
+                    return Column(codes, t, dictionary=dictionary)
         values = self.gen.column(self.name, column)
         if t.is_string:
             vocab = ENUM_VOCABS.get((self.name, column))
@@ -132,8 +154,8 @@ class TpchTable(Table):
             else:
                 dictionary, codes = encode_dictionary(
                     np.asarray(values, dtype="U"))
-            return Column(jnp.asarray(codes), t, dictionary=dictionary)
-        return Column(jnp.asarray(values.astype(t.np_dtype, copy=False)), t)
+            return Column(codes, t, dictionary=dictionary)
+        return Column(values.astype(t.np_dtype, copy=False), t)
 
 
 class TpchCatalog(Catalog):

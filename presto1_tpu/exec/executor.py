@@ -579,7 +579,7 @@ class _CpuTableProxy:
 
     def column(self, name: str) -> Column:
         if name not in self._cache:
-            c = self._table.column(name)
+            c = self._table.host_column(name)  # host load, no device pull
             self._cache[name] = Column(
                 jax.device_put(np.asarray(c.data), self._cpu), c.type,
                 validity=None if c.validity is None
@@ -643,7 +643,12 @@ class CompiledQuery:
             discoverer.capture_paths = set(roots)
             discoverer.execute(plan)
         self.record = discoverer.record
-        self.inputs = discoverer.scan_inputs(plan)
+        # scan inputs must come from the REAL catalog (default-device
+        # arrays), never the CPU discovery proxy: proxy arrays are
+        # host-committed, and feeding them to the compiled program would
+        # re-transfer every scan column to the device on EVERY run
+        # (measured: SF1 Q1 69ms -> 13s through the device tunnel).
+        self.inputs = Executor(catalog).scan_inputs(plan)
         self._meta: Dict[Path, list] = {}
         for r in roots:
             b = discoverer.captured[r]
