@@ -74,10 +74,9 @@ def main():
     rows_per_s = []
     for q in qids:
         cq = engine.compile(QUERIES[q])
-        cq.block_run()  # compile
+        cq.block_run()  # compile + warm
         t0 = time.time()
-        for _ in range(reps):
-            cq.block_run()
+        cq.block_run(reps=reps)  # steady-state: one completion barrier
         ours = (time.time() - t0) / reps
 
         t0 = time.time()

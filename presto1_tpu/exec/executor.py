@@ -743,13 +743,17 @@ class CompiledQuery:
         n = int(num_rows) if not isinstance(num_rows, int) else num_rows
         return RecordBatch(cols, n)
 
-    def block_run(self):
-        """Execute and block until complete (for benchmarking).
+    def block_run(self, reps: int = 1):
+        """Execute ``reps`` times and block until complete (benchmarking).
 
         Forces a host readback of the row count: through remote-device
         tunnels `block_until_ready` can return before execution, so a
-        scalar fetch is the only reliable completion barrier."""
-        data, validity, num_rows, oks = self._run()
+        scalar fetch is the only reliable completion barrier.  With
+        ``reps > 1`` the runs are dispatched back-to-back and a single
+        barrier closes the batch — steady-state throughput measurement
+        that amortises the tunnel round-trip (~20-25 ms) across runs."""
+        for _ in range(reps):
+            data, validity, num_rows, oks = self._run()
         jax.block_until_ready(data)
         if not isinstance(num_rows, int):
             num_rows = int(num_rows)
