@@ -158,6 +158,42 @@ class TpchTable(Table):
         return Column(values.astype(t.np_dtype, copy=False), t)
 
 
+class ShardedTable(Table):
+    """A contiguous row-range view of a base table — the worker-side analog
+    of the reference's splits (``TpchSplitManager.java:36-55`` assigns
+    ``nodes × splitsPerNode`` slices of each TPC-H table)."""
+
+    def __init__(self, base: Table, index: int, count: int):
+        super().__init__(base.name, list(base.schema.items()))
+        self.base = base
+        n = base.num_rows
+        self.lo = n * index // count
+        self.hi = n * (index + 1) // count
+
+    @property
+    def num_rows(self) -> int:
+        return self.hi - self.lo
+
+    def _load(self, column: str) -> Column:
+        c = self.base.host_column(column)
+        data = np.asarray(c.data)[self.lo:self.hi]
+        validity = c.validity
+        if validity is not None:
+            validity = jnp.asarray(np.asarray(validity)[self.lo:self.hi])
+        return Column(jnp.asarray(data), c.type, validity=validity,
+                      dictionary=c.dictionary)
+
+
+class ShardedCatalog(Catalog):
+    """Catalog view holding shard ``index`` of ``count`` for every table."""
+
+    def __init__(self, base: Catalog, index: int, count: int):
+        super().__init__()
+        self.base = base
+        for name, t in base.tables.items():
+            self.tables[name] = ShardedTable(t, index, count)
+
+
 class TpchCatalog(Catalog):
     """Schema name -> scale factor, as the reference's TpchMetadata:97."""
 

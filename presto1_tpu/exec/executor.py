@@ -208,9 +208,11 @@ class Executor:
 
     def _x_Aggregate(self, node: Aggregate, path: Path) -> RecordBatch:
         # fuse an immediate child Filter into the aggregation mask
+        # (but never through a fragment-input stub: the stubbed batch is the
+        # filter's OUTPUT, its predicate already applied remotely)
         mask = None
         child_node = node.child
-        if isinstance(child_node, Filter):
+        if isinstance(child_node, Filter) and path + (0,) not in self.stubs:
             below = self.execute(child_node.child, path + (0, 0))
             pred = self._bind(child_node.predicate, below)
             mask = filter_mask(pred, below)

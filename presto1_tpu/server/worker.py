@@ -1,0 +1,343 @@
+"""Worker host runtime: the per-host task server of the multi-host plane.
+
+The DCN re-design of the reference's worker surface:
+
+* task control  — ``POST /v1/task/{taskId}`` with a JSON body carrying the
+  serialized plan fragment plus this task's table shard (splits), mirroring
+  ``TaskResource.createOrUpdateTask`` (``server/TaskResource.java:123-127``)
+  and ``SqlTaskManager``/``SqlTaskExecution``.
+* task status   — ``GET /v1/task/{taskId}`` (the long-poll status fetcher's
+  target, ``server/remotetask/ContinuousTaskStatusFetcher``).
+* results       — ``GET /v1/task/{taskId}/results/{token}``: binary pages
+  with ``X-P1-Page-Token`` / ``X-P1-Buffer-Complete`` headers — the pull
+  protocol of ``operator/HttpPageBufferClient.java:321-376`` reduced to its
+  essentials (tokens ack pages; re-fetch is idempotent).
+* heartbeat     — ``GET /v1/status`` (probed by the coordinator's failure
+  detector, ``failuredetector/HeartbeatFailureDetector.java:78``).
+* announcements — the worker announces itself to the coordinator's
+  discovery endpoint on a loop (airlift discovery analog,
+  ``metadata/DiscoveryNodeManager``).
+* shutdown      — ``PUT /v1/info/state`` with ``"SHUTTING_DOWN"`` drains
+  active tasks then exits (``server/GracefulShutdownHandler.java:48-84``).
+
+Inside one host, compute still runs the single-program XLA path; the DCN
+layer only moves fragments down and pages up.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import threading
+import time
+import traceback
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+from urllib import request as urlrequest
+
+PAGE_MAX_ROWS = 65536
+
+
+class TaskState:
+    RUNNING = "RUNNING"
+    FINISHED = "FINISHED"
+    FAILED = "FAILED"
+    ABORTED = "ABORTED"
+
+
+class WorkerTask:
+    def __init__(self, task_id: str):
+        self.id = task_id
+        self.state = TaskState.RUNNING
+        self.error: Optional[str] = None
+        self.pages: list = []  # serialized pages (bytes)
+        self.created = time.time()
+        self.heartbeat = time.time()
+        self.done = threading.Event()
+
+    def info(self) -> dict:
+        return {"taskId": self.id, "state": self.state, "error": self.error,
+                "pages": len(self.pages)}
+
+
+def _make_catalog(spec: str):
+    """'tpch:tiny' / 'tpch:sf1' → catalog.  Extension point for connectors."""
+    from ..exec.catalog import TpchCatalog
+
+    kind, _, arg = spec.partition(":")
+    if kind == "tpch":
+        return TpchCatalog(arg or "tiny")
+    raise ValueError(f"unknown catalog spec {spec}")
+
+
+class WorkerRuntime:
+    """Owns tasks and executes fragments (SqlTaskManager analog)."""
+
+    def __init__(self, catalog_spec: str):
+        self.node_id = uuid.uuid4().hex[:12]
+        self.catalog_spec = catalog_spec
+        self._base_catalog = None
+        self._catalog_lock = threading.Lock()
+        self.tasks: Dict[str, WorkerTask] = {}
+        self.started = time.time()
+        self.draining = False
+
+    def base_catalog(self):
+        with self._catalog_lock:
+            if self._base_catalog is None:
+                self._base_catalog = _make_catalog(self.catalog_spec)
+            return self._base_catalog
+
+    def create_task(self, task_id: str, body: dict) -> WorkerTask:
+        if task_id in self.tasks:
+            return self.tasks[task_id]
+        if self.draining:
+            raise RuntimeError("worker is shutting down")
+        task = WorkerTask(task_id)
+        self.tasks[task_id] = task
+        threading.Thread(target=self._run, args=(task, body),
+                         daemon=True).start()
+        return task
+
+    def _run(self, task: WorkerTask, body: dict) -> None:
+        try:
+            from ..exec.catalog import ShardedCatalog
+            from ..exec.executor import Executor
+            from ..exec.pages import serialize_batch
+            from ..sql.serde import plan_from_json
+
+            plan = plan_from_json(body["fragment"])
+            shard = body.get("shard")
+            catalog = self.base_catalog()
+            if shard is not None:
+                catalog = ShardedCatalog(catalog, shard["index"],
+                                         shard["count"])
+            out = Executor(catalog).execute(plan)
+            n = out.num_rows if isinstance(out.num_rows, int) \
+                else int(out.num_rows)
+            # paginate: bounded buffers, idempotent token fetches
+            from ..batch import RecordBatch
+
+            pages = []
+            for lo in range(0, max(n, 1), PAGE_MAX_ROWS):
+                hi = min(lo + PAGE_MAX_ROWS, n)
+                cols = {
+                    name: c.with_data(
+                        c.data[lo:hi],
+                        c.validity[lo:hi] if c.validity is not None else None)
+                    for name, c in out.columns.items()
+                }
+                pages.append(serialize_batch(RecordBatch(cols, hi - lo)))
+                if hi >= n:
+                    break
+            task.pages = pages
+            task.state = TaskState.FINISHED
+        except Exception as e:  # noqa: BLE001 — reported via task status
+            task.error = f"{type(e).__name__}: {e}"
+            traceback.print_exc()
+            task.state = TaskState.FAILED
+        finally:
+            task.done.set()
+
+    def abort(self, task_id: str) -> bool:
+        task = self.tasks.get(task_id)
+        if task is None:
+            return False
+        if task.state == TaskState.RUNNING:
+            task.state = TaskState.ABORTED
+        return True
+
+    def status(self) -> dict:
+        return {
+            "nodeId": self.node_id,
+            "state": "SHUTTING_DOWN" if self.draining else "ACTIVE",
+            "uptime_s": time.time() - self.started,
+            "tasks": {s: sum(1 for t in self.tasks.values() if t.state == s)
+                      for s in (TaskState.RUNNING, TaskState.FINISHED,
+                                TaskState.FAILED)},
+        }
+
+
+class WorkerServer:
+    def __init__(self, catalog_spec: str, host: str = "127.0.0.1",
+                 port: int = 0, coordinator: Optional[str] = None,
+                 announce_interval_s: float = 1.0):
+        self.runtime = WorkerRuntime(catalog_spec)
+        runtime = self.runtime
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):
+                pass
+
+            def _send_json(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                parts = self.path.strip("/").split("/")
+                if parts[:2] == ["v1", "task"] and len(parts) == 3:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    body = json.loads(self.rfile.read(length).decode())
+                    try:
+                        task = runtime.create_task(parts[2], body)
+                    except RuntimeError as e:
+                        self._send_json(503, {"error": str(e)})
+                        return
+                    self._send_json(200, task.info())
+                    return
+                self._send_json(404, {"error": "not found"})
+
+            def do_GET(self):
+                parts = self.path.strip("/").split("/")
+                if parts == ["v1", "status"]:
+                    self._send_json(200, runtime.status())
+                    return
+                if parts[:2] == ["v1", "task"] and len(parts) == 3:
+                    task = runtime.tasks.get(parts[2])
+                    if task is None:
+                        self._send_json(404, {"error": "unknown task"})
+                        return
+                    task.heartbeat = time.time()
+                    self._send_json(200, task.info())
+                    return
+                if (parts[:2] == ["v1", "task"] and len(parts) == 5
+                        and parts[3] == "results"):
+                    task = runtime.tasks.get(parts[2])
+                    if task is None:
+                        self._send_json(404, {"error": "unknown task"})
+                        return
+                    token = int(parts[4])
+                    # long-poll up to 10s; a still-running task answers with
+                    # an EMPTY non-complete response and the client re-polls
+                    # the same token (HttpPageBufferClient's token protocol:
+                    # completeness is a property of the buffer, never of a
+                    # poll timeout)
+                    deadline = time.time() + 10.0
+                    while (task.state == TaskState.RUNNING
+                           and time.time() < deadline):
+                        task.done.wait(0.05)
+                    if task.state == TaskState.FAILED:
+                        self._send_json(500, {"error": task.error})
+                        return
+                    running = task.state == TaskState.RUNNING
+                    complete = (not running) and token >= len(task.pages)
+                    has_page = (not running) and token < len(task.pages)
+                    body = task.pages[token] if has_page else b""
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/x-p1-pages")
+                    self.send_header("X-P1-Page-Token", str(token))
+                    self.send_header("X-P1-Page-Present",
+                                     "true" if has_page else "false")
+                    self.send_header("X-P1-Buffer-Complete",
+                                     "true" if complete else "false")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                self._send_json(404, {"error": "not found"})
+
+            def do_DELETE(self):
+                parts = self.path.strip("/").split("/")
+                if parts[:2] == ["v1", "task"] and len(parts) == 3:
+                    ok = runtime.abort(parts[2])
+                    self._send_json(200 if ok else 404, {"aborted": ok})
+                    return
+                self._send_json(404, {"error": "not found"})
+
+            def do_PUT(self):
+                parts = self.path.strip("/").split("/")
+                if parts == ["v1", "info", "state"]:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    state = json.loads(self.rfile.read(length).decode())
+                    if state == "SHUTTING_DOWN":
+                        runtime.draining = True
+                        threading.Thread(target=server._drain_and_exit,
+                                         daemon=True).start()
+                        self._send_json(200, {"state": "SHUTTING_DOWN"})
+                        return
+                    self._send_json(400, {"error": f"bad state {state}"})
+                    return
+                self._send_json(404, {"error": "not found"})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host = host
+        self.port = self.httpd.server_address[1]
+        self.coordinator = coordinator
+        self.announce_interval_s = announce_interval_s
+        self._threads: list = []
+        self._stop = threading.Event()
+
+    def uri(self) -> str:
+        return f"http://{self.host}:{self.port}"
+
+    def start(self) -> "WorkerServer":
+        t = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        t.start()
+        self._threads.append(t)
+        if self.coordinator:
+            a = threading.Thread(target=self._announce_loop, daemon=True)
+            a.start()
+            self._threads.append(a)
+        return self
+
+    def _announce_loop(self) -> None:
+        payload = json.dumps({
+            "nodeId": self.runtime.node_id, "uri": self.uri(),
+            "catalog": self.runtime.catalog_spec,
+        }).encode()
+        while not self._stop.is_set():
+            try:
+                req = urlrequest.Request(
+                    f"{self.coordinator}/v1/announcement/"
+                    f"{self.runtime.node_id}",
+                    data=payload, method="PUT",
+                    headers={"Content-Type": "application/json"})
+                urlrequest.urlopen(req, timeout=5).read()
+            except Exception:  # noqa: BLE001 — re-announce next tick
+                pass
+            self._stop.wait(self.announce_interval_s)
+
+    def _drain_and_exit(self) -> None:
+        while any(t.state == TaskState.RUNNING
+                  for t in self.runtime.tasks.values()):
+            time.sleep(0.1)
+        self.stop()
+        os._exit(0)
+
+    def stop(self) -> None:
+        self._stop.set()
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="presto1_tpu worker host")
+    ap.add_argument("--catalog", default="tpch:tiny")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=0)
+    ap.add_argument("--coordinator", default=None,
+                    help="coordinator URI for discovery announcements")
+    args = ap.parse_args(argv)
+    srv = WorkerServer(args.catalog, args.host, args.port,
+                       coordinator=args.coordinator).start()
+    print(json.dumps({"uri": srv.uri(), "nodeId": srv.runtime.node_id}),
+          flush=True)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -80,6 +80,22 @@ DATE = SqlType("date")
 VARCHAR = SqlType("varchar")
 
 
+def parse_type_str(name: str) -> SqlType:
+    """Inverse of ``str(SqlType)`` (used by the page wire format and DDL)."""
+    n = name.strip().lower()
+    if n.startswith("decimal"):
+        inner = n[n.find("(") + 1:n.find(")")] if "(" in n else "12,2"
+        p, s = (inner.split(",") + ["0"])[:2]
+        return DecimalType(int(p.strip()), int(s.strip()))
+    for prefix, t in (("double", "double"), ("bigint", "bigint"),
+                      ("integer", "integer"), ("int", "integer"),
+                      ("date", "date"), ("varchar", "varchar"),
+                      ("char", "varchar"), ("boolean", "boolean")):
+        if n.startswith(prefix):
+            return SqlType(t) if t != "varchar" else VARCHAR
+    raise ValueError(f"unknown type {name}")
+
+
 def common_supertype(a: SqlType, b: SqlType) -> SqlType:
     """Result type of binary arithmetic/comparison coercion.
 
