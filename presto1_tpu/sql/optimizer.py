@@ -270,7 +270,7 @@ def _unique_keysets(node: LogicalNode) -> Set[frozenset]:
 
 
 def _reorder(node: LogicalNode, catalog) -> LogicalNode:
-    if isinstance(node, Join) and node.kind == "inner":
+    if isinstance(node, Join) and node.kind in ("inner", "cross"):
         rels, edges, residuals = [], [], []
         _flatten_inner(node, rels, edges, residuals, catalog)
         if len(rels) > 2:
@@ -311,7 +311,10 @@ def _orient(node: LogicalNode, catalog) -> LogicalNode:
 
 
 def _flatten_inner(node: LogicalNode, rels, edges, residuals, catalog):
-    if isinstance(node, Join) and node.kind == "inner":
+    # cross joins flatten too: a FROM-list pair without a direct predicate
+    # (Q2's part x supplier) must not act as a reorder barrier — the greedy
+    # rebuild connects both through their shared fact table instead
+    if isinstance(node, Join) and node.kind in ("inner", "cross"):
         if node.residual is not None:
             residuals.extend(_split_ir_conjuncts(node.residual))
         _flatten_inner(node.left, rels, edges, residuals, catalog)
