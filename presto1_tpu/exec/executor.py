@@ -255,6 +255,63 @@ class Executor:
                               mask=mask, carry=carry)
         return self._shrink(out)
 
+    def _dynamic_filter(self, rec: dict, lb: RecordBatch, rb: RecordBatch,
+                        lkeys, rkeys) -> RecordBatch:
+        """Compact the probe to rows whose keys fall inside the build-side
+        [min, max] domain.  Eager mode decides per join whether the
+        reduction pays for the compaction (recorded for compiled replay)."""
+        eligible = [(lk, rk) for lk, rk in zip(lkeys, rkeys)
+                    if not lb[lk].type.is_string]
+        if not eligible:
+            return lb
+        if self.compiled and not rec.get("df"):
+            return lb
+        if not self.compiled:
+            n_probe = int(lb.num_rows)
+            if "df" in rec and not rec["df"]:
+                return lb  # sticky decision across eager re-runs
+            if "df" not in rec and n_probe < 8192:
+                rec["df"] = False  # too small for compaction to pay off
+                return lb
+        from ..ops.filter import compact
+
+        n = lb.capacity()
+        mask = jnp.arange(n) < lb.num_rows
+        blive_base = jnp.arange(rb.capacity()) < rb.num_rows
+        for lk, rk in eligible:
+            pc, bc = lb[lk], rb[rk]
+            blive = blive_base
+            if bc.validity is not None:
+                blive = blive & bc.validity
+            d = bc.data
+            if d.dtype.kind == "f":
+                big = jnp.asarray(np.inf, d.dtype)
+                p = lb[lk].data
+            else:
+                d = d.astype(jnp.int64)
+                big = jnp.asarray(np.iinfo(np.int64).max, jnp.int64)
+                p = pc.data.astype(jnp.int64)
+            lo = jnp.min(jnp.where(blive, d, big))
+            hi = jnp.max(jnp.where(blive, d, -big))
+            pm = (p >= lo) & (p <= hi)
+            if pc.validity is not None:
+                pm = pm & pc.validity
+            mask = mask & pm
+        if self.compiled:
+            cap = rec["df_capacity"]
+            out = compact(lb, mask, cap)
+            self._check_capacity(out.num_rows, cap)
+            return out
+        kept = int(jnp.sum(mask))
+        if "df" not in rec:
+            rec["df"] = kept < 0.75 * max(n_probe, 1)
+        if not rec["df"]:
+            return lb
+        out = compact(lb, mask)
+        out = self._shrink(out)
+        rec["df_capacity"] = max(out.capacity(), rec.get("df_capacity", 0))
+        return out
+
     def _x_Join(self, node: Join, path: Path) -> RecordBatch:
         left = self.execute(node.left, path + (0,))
         right = self.execute(node.right, path + (1,))
@@ -293,6 +350,15 @@ class Executor:
             rkeys.append(rn)
         if not lkeys:
             raise ExecError(f"join without equi keys: {node.kind}")
+
+        # dynamic filtering (inner/semi only — left/anti keep non-matching
+        # probe rows): the build side's key bounds mask the probe before the
+        # join ops see it.  Analog of the reference's DynamicFilterService
+        # (``server/DynamicFilterService.java:95``, min/max domain push-down)
+        # with bounds as traced device values, so compiled replays keep the
+        # exact same program shape.
+        if node.kind in ("inner", "semi"):
+            lb = self._dynamic_filter(rec, lb, rb, lkeys, rkeys)
 
         if self.compiled:
             ranges = rec["ranges"]

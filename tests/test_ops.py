@@ -269,3 +269,51 @@ def test_multiword_join_keys():
         (20, 200), (21, 200), (30, 300)]
     anti = hj(probe, build, ["a", "b"], ["c", "d"], "anti", ranges, 16)
     assert list(anti["v"].decode(int(anti.num_rows))) == [10]
+
+
+def test_dynamic_filter_engages_and_matches():
+    """Build-side min/max domain compacts the probe (inner/semi only) —
+    DynamicFilterService analog; reference server/DynamicFilterService.java:95."""
+    import numpy as np
+
+    from presto1_tpu.exec.executor import Executor
+    from presto1_tpu.exec.memory_catalog import MemoryTable
+    from presto1_tpu.exec.catalog import Catalog
+    from presto1_tpu.exec.engine import Engine
+    from presto1_tpu.batch import from_numpy
+    from presto1_tpu.types import BIGINT
+
+    catalog = Catalog()
+    rng = np.random.RandomState(7)
+    fact = MemoryTable("fact", [("fk", BIGINT), ("v", BIGINT)])
+    fact.append(from_numpy({
+        "fk": rng.randint(0, 100000, 20000).astype(np.int64),
+        "v": np.arange(20000, dtype=np.int64),
+    }, {"fk": BIGINT, "v": BIGINT}))
+    dim = MemoryTable("dim", [("k", BIGINT), ("w", BIGINT)])
+    dim.append(from_numpy({
+        "k": np.arange(500, 600, dtype=np.int64),
+        "w": np.arange(100, dtype=np.int64),
+    }, {"k": BIGINT, "w": BIGINT}))
+    catalog.tables = {"fact": fact, "dim": dim}
+    engine = Engine(catalog)
+
+    out = engine.sql_pandas(
+        "select count(*) as c, sum(v) as s from fact, dim where fk = k")
+    fkv = np.asarray(fact.batch()["fk"].data)[:20000]
+    vv = np.asarray(fact.batch()["v"].data)[:20000]
+    m = (fkv >= 500) & (fkv < 600)
+    assert int(out["c"][0]) == int(m.sum())
+    assert int(out["s"][0]) == int(vv[m].sum())
+
+    # the join recorded a df compaction with a much smaller capacity
+    plan = engine.plan("select count(*) from fact, dim where fk = k")
+    ex = Executor(catalog)
+    ex.execute(plan)
+    recs = [r for r in ex.record.values() if "df" in r]
+    assert any(r["df"] and r["df_capacity"] <= 1024 for r in recs), recs
+
+    # anti join keeps non-matching rows — df must NOT drop them
+    out = engine.sql_pandas(
+        "select count(*) as c from fact where fk not in (select k from dim)")
+    assert int(out["c"][0]) == int((~m).sum())
