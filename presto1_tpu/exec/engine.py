@@ -24,11 +24,26 @@ from .stats import QueryStats
 
 class Engine:
     def __init__(self, catalog: Catalog, session: Optional[Session] = None,
-                 events: Optional[EventBus] = None):
+                 events: Optional[EventBus] = None, memory_pool=None):
         self.catalog = catalog
         self.session = session or Session()
         self.events = events or EventBus()
+        self.memory_pool = memory_pool  # shared MemoryPool (optional)
         self._compiled_cache: dict = {}
+
+    def _memory_context(self):
+        """Per-query accounting when a limit or shared pool is configured."""
+        limit = self.session.get("query_max_memory")
+        if not limit and self.memory_pool is None:
+            return None
+        from .memory import QueryMemoryContext
+
+        ctx = QueryMemoryContext(self.session.query_id,
+                                 max_bytes=limit or None,
+                                 pool=self.memory_pool)
+        if self.memory_pool is not None:
+            self.memory_pool.register(ctx)
+        return ctx
 
     def plan(self, sql: str) -> LogicalNode:
         q = sql_parser.parse(sql)
@@ -58,7 +73,17 @@ class Engine:
                 out = cq()
             else:
                 plan = self.plan(sql)
-                out = Executor(self.catalog, stats=stats).execute(plan)
+                mem = self._memory_context()
+                try:
+                    out = Executor(
+                        self.catalog, stats=stats, memory=mem,
+                        dynamic_filtering=self.session.get(
+                            "enable_dynamic_filtering")).execute(plan)
+                finally:
+                    if mem is not None:
+                        mem.release_all()
+                        if self.memory_pool is not None:
+                            self.memory_pool.unregister(mem)
             rows = out.num_rows if isinstance(out.num_rows, int) \
                 else int(out.num_rows)
         except Exception as e:

@@ -63,13 +63,16 @@ class Executor:
     def __init__(self, catalog, compiled: bool = False,
                  record: Optional[Dict[Path, dict]] = None,
                  scan_arrays: Optional[Dict[str, jnp.ndarray]] = None,
-                 stats=None, stubs: Optional[Dict[Path, RecordBatch]] = None):
+                 stats=None, stubs: Optional[Dict[Path, RecordBatch]] = None,
+                 memory=None, dynamic_filtering: bool = True):
         self.catalog = catalog
         self.compiled = compiled
         self.record: Dict[Path, dict] = record if record is not None else {}
         self.scan_arrays = scan_arrays
         self.stats = stats
         self.stubs = stubs or {}
+        self.memory = memory  # QueryMemoryContext (eager mode accounting)
+        self.dynamic_filtering = dynamic_filtering
         self.capture_paths: set = set()
         self.captured: Dict[Path, RecordBatch] = {}
         self.overflow_checks: List[jnp.ndarray] = []
@@ -130,11 +133,19 @@ class Executor:
         m = getattr(self, f"_x_{type(node).__name__}")
         if self.stats is None or self.compiled:
             out = m(node, path)
+            if self.memory is not None and not self.compiled:
+                from .memory import batch_bytes
+
+                self.memory.set_bytes(path, batch_bytes(out))
         else:
             import time as _time
 
             t0 = _time.time()
             out = m(node, path)
+            if self.memory is not None:
+                from .memory import batch_bytes
+
+                self.memory.set_bytes(path, batch_bytes(out))
             rows = out.num_rows if isinstance(out.num_rows, int) else int(out.num_rows)
             # cumulative wall time (includes children) — rendered as such
             self.stats.record(path, type(node).__name__, "",
@@ -262,7 +273,7 @@ class Executor:
         reduction pays for the compaction (recorded for compiled replay)."""
         eligible = [(lk, rk) for lk, rk in zip(lkeys, rkeys)
                     if not lb[lk].type.is_string]
-        if not eligible:
+        if not eligible or not self.dynamic_filtering:
             return lb
         if self.compiled and not rec.get("df"):
             return lb

@@ -26,6 +26,12 @@ SYSTEM_SESSION_PROPERTIES: Dict[str, tuple] = {
                              "non-unique joins"),
     "compile_queries": (bool, False,
                         "trace the full pipeline into one XLA program"),
+    "query_max_memory": (int, 0,
+                         "per-query device-memory limit in bytes "
+                         "(0 = unlimited)"),
+    "enable_dynamic_filtering": (bool, True,
+                                 "build-side min/max domains compact "
+                                 "join probes"),
 }
 
 
