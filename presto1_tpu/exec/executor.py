@@ -423,7 +423,8 @@ class Executor:
         if self.compiled:
             cap = rec["capacity"]
             out = hash_join(lb, rb, lkeys, rkeys, node.kind, ranges, cap,
-                            residual=residual)
+                            residual=residual,
+                            build_unique=node.build_unique)
             self._check_capacity(out.num_rows, cap)
         else:
             if node.build_unique:
@@ -432,7 +433,8 @@ class Executor:
                 cap = round_capacity(max(int(lb.num_rows) * 2, 128))
             while True:
                 out = hash_join(lb, rb, lkeys, rkeys, node.kind, ranges, cap,
-                                residual=residual)
+                                residual=residual,
+                                build_unique=node.build_unique)
                 total = int(out.num_rows)
                 if total <= cap:
                     break

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -162,9 +163,56 @@ def iota(n: int) -> jnp.ndarray:
     return jnp.arange(n, dtype=jnp.int64)
 
 
+def searchsorted_cosort(a: jnp.ndarray, v: jnp.ndarray,
+                        side: str = "left") -> jnp.ndarray:
+    """Scatter-free co-sorting searchsorted for TPU.
+
+    jax's ``method='sort'`` ranks via ``zeros.at[argsort(x)].set(iota)`` —
+    a scatter (serial on TPU) — plus a second rank of the queries, and its
+    int64 argsort decomposes into three u32 operands that XLA's remat pass
+    materialises as a ``[n+m, 3]`` array whose TPU tile layout pads the
+    minor dim 3→128 (measured 42x memory expansion, OOM at SF1 join
+    shapes).  This version is two stable variadic sorts with at most two
+    narrow 1D operands each and no scatter:
+
+      1. sort (concat keys, origin-iota): stable order makes the tie rule
+         (a-before-v = 'right', v-before-a = 'left') exact;
+      2. exclusive cumsum of the a-indicator = #a before each position;
+      3. sort (origin, counts) routes each query's answer back to its slot.
+    """
+    n, m = a.shape[0], v.shape[0]
+    total = n + m
+    if side == "right":
+        key = jnp.concatenate([a, v])
+        is_a_of = lambda origin: origin < n
+    else:
+        key = jnp.concatenate([v, a])
+        is_a_of = lambda origin: origin >= m
+    origin = jnp.arange(total, dtype=jnp.int32)
+    s_key, s_origin = jax.lax.sort((key, origin), num_keys=1,
+                                   is_stable=True)
+    is_a = is_a_of(s_origin).astype(jnp.int32)
+    a_before = jnp.cumsum(is_a) - is_a
+    _, routed = jax.lax.sort((s_origin, a_before), num_keys=1,
+                             is_stable=True)
+    out = routed[n:] if side == "right" else routed[:m]
+    return out.astype(jnp.int64)
+
+
 def searchsorted_fast(a: jnp.ndarray, v: jnp.ndarray, side: str = "left"):
     """Backend-aware searchsorted: XLA:TPU executes the default binary-
-    search ('scan') method orders of magnitude slower than the co-sorting
-    lowering, so pick per backend at trace time."""
-    method = "sort" if effective_backend() != "cpu" else "scan"
-    return jnp.searchsorted(a, v, side=side, method=method)
+    search ('scan') method orders of magnitude slower than co-sorting,
+    so pick per backend at trace time."""
+    if effective_backend() == "cpu":
+        return jnp.searchsorted(a, v, side=side, method="scan")
+    return searchsorted_cosort(a, v, side=side)
+
+
+def narrow_i32(words: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """Narrow packed int64 key words of known bit width to int32 (halves
+    sort bytes and avoids the u32-pair decomposition).  INT64_MAX
+    sentinels map onto INT32_MAX, preserving sort-to-the-end."""
+    if bits > 30:
+        return words
+    i32max = jnp.asarray(np.iinfo(np.int32).max, jnp.int64)
+    return jnp.minimum(words, i32max).astype(jnp.int32)

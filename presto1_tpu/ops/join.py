@@ -24,12 +24,14 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..batch import Column, RecordBatch
 from ..expr.ir import Expr
 from ..expr.eval import eval_predicate
 from .common import (
-    INT64_MAX, iota, mix_key_word, pack_key_words, searchsorted_fast,
+    INT64_MAX, iota, mix_key_word, narrow_i32, pack_key_words,
+    searchsorted_fast,
 )
 from .segments import compact_indices, sorted_segment_sum
 
@@ -37,7 +39,13 @@ from .segments import compact_indices, sorted_segment_sum
 def _probe_ranges(probe, build, probe_keys, build_keys, ranges):
     """Returns (lo, counts, bperm, live, needs_verify).  Wide composite
     keys (>63 bits) fall back to a 62-bit mix whose candidate matches the
-    caller verifies against the real key columns."""
+    caller verifies against the real key columns.
+
+    The probe is ONE co-sorting left-search; match counts come from the
+    build side's run lengths (cummax/cummin over run boundaries — dense
+    vector ops at build size) instead of a second 'right' search, halving
+    the dominant co-sort cost (reference analog: PagesHash.getAddressIndex
+    + PositionLinks chain walk, ``operator/PagesHash.java:157-169``)."""
     np_, nb = probe.capacity(), build.capacity()
     bcols = [build[k] for k in build_keys]
     pcols = [probe[k] for k in probe_keys]
@@ -47,16 +55,41 @@ def _probe_ranges(probe, build, probe_keys, build_keys, ranges):
     if widths <= 63:
         bk = pack_key_words(bcols, ranges, build.num_rows, null_high=True)[0]
         pk = pack_key_words(pcols, ranges, probe.num_rows)[0]
+        bk = narrow_i32(bk, widths)
+        pk = narrow_i32(pk, widths)
         needs_verify = False
     else:
         bk = mix_key_word(bcols, ranges, build.num_rows, null_high=True)
         pk = mix_key_word(pcols, ranges, probe.num_rows)
         needs_verify = True
-    sorted_bk, bperm = jax.lax.sort((bk, iota(nb)), num_keys=1)
+    sorted_bk, bperm = jax.lax.sort((bk, iota(nb).astype(jnp.int32)),
+                                    num_keys=1)
     lo = searchsorted_fast(sorted_bk, pk, side="left")
-    hi = searchsorted_fast(sorted_bk, pk, side="right")
     live = iota(np_) < probe.num_rows
-    counts = jnp.where(live, hi - lo, 0)
+
+    # build run lengths: next_start[i] - i at each run start
+    idx32 = jnp.arange(nb, dtype=jnp.int32)
+    prev = jnp.concatenate([sorted_bk[:1] + 0, sorted_bk[:-1]])
+    boundary = jnp.concatenate([jnp.ones((1,), bool) if nb else
+                                jnp.zeros((0,), bool),
+                                sorted_bk[1:] != prev[1:]])
+    next_boundary = jnp.concatenate([boundary[1:],
+                                     jnp.ones((min(nb, 1),), bool)])
+    mark = jnp.where(next_boundary, idx32 + 1,
+                     jnp.asarray(nb, jnp.int32))
+    next_start = jnp.flip(jax.lax.cummin(jnp.flip(mark)))
+
+    lo_c = jnp.clip(lo, 0, max(nb - 1, 0))
+    match = jnp.take(sorted_bk, lo_c, mode="clip") == pk
+    # build-side sentinels sort to the end (null_high): a probe sentinel
+    # (dead row / null key) equals them but is masked by `live`
+    sentinel = jnp.asarray(
+        INT64_MAX if sorted_bk.dtype == jnp.int64
+        else np.iinfo(np.int32).max, sorted_bk.dtype)
+    real = pk != sentinel
+    counts = jnp.where(live & match & real & (lo < nb),
+                       (jnp.take(next_start, lo_c, mode="clip")
+                        - lo_c.astype(jnp.int32)).astype(jnp.int64), 0)
     return lo, counts, bperm, live, needs_verify
 
 
@@ -67,7 +100,14 @@ def _expand(probe, build, lo, counts_real, counts_emit, bperm, capacity):
     offsets = jnp.cumsum(counts_emit)
     total = offsets[-1] if np_ > 0 else jnp.asarray(0, jnp.int64)
     out_i = iota(capacity)
-    pidx = searchsorted_fast(offsets, out_i, side="right")
+    if capacity < (1 << 31):
+        # int32 co-sort: offsets clipped at capacity keep every "<= j"
+        # relation for j < capacity (overflow trips the capacity guard)
+        pidx = searchsorted_fast(
+            jnp.minimum(offsets, capacity).astype(jnp.int32),
+            out_i.astype(jnp.int32), side="right")
+    else:
+        pidx = searchsorted_fast(offsets, out_i, side="right")
     pidx = jnp.clip(pidx, 0, np_ - 1)
     start = offsets[pidx] - counts_emit[pidx]
     k = out_i - start
@@ -92,9 +132,39 @@ def hash_join(
     capacity: int,
     residual: Optional[Expr] = None,
     stats: Optional[dict] = None,
+    build_unique: bool = False,
 ) -> RecordBatch:
     lo, counts, bperm, live, needs_verify = _probe_ranges(
         probe, build, probe_keys, build_keys, ranges)
+
+    if build_unique and residual is None and not needs_verify \
+            and kind in ("inner", "left"):
+        # N:1 fast path — a pure lookup, no prefix-sum expansion:
+        # every probe row has at most one match (PK build side)
+        from ..batch import gather_columns
+
+        nb = build.capacity()
+        matched = (counts > 0) & live
+        bpos = jnp.take(bperm, jnp.clip(lo, 0, max(nb - 1, 0)), mode="clip")
+        if kind == "left":
+            cols = dict(probe.columns)
+            cols.update(gather_columns(build.columns, bpos, valid=matched))
+            return RecordBatch(cols, probe.num_rows)
+        # inner: compact matching probe rows with their build position as
+        # one extra payload column (single stable sort moves everything)
+        from ..types import BIGINT
+        from .filter import compact
+
+        tmp = RecordBatch(
+            {**probe.columns,
+             "__bpos": Column(bpos.astype(jnp.int64), BIGINT)},
+            probe.num_rows)
+        packed = compact(tmp, matched, capacity)
+        bpos_c = packed["__bpos"].data
+        out_live = iota(capacity) < packed.num_rows
+        cols = {n: c for n, c in packed.columns.items() if n != "__bpos"}
+        cols.update(gather_columns(build.columns, bpos_c, valid=out_live))
+        return RecordBatch(cols, packed.num_rows)
     np_ = probe.capacity()
     if needs_verify:
         from ..expr.ir import ColumnRef, call as ir_call
