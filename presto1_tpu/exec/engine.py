@@ -30,6 +30,9 @@ class Engine:
         self.events = events or EventBus()
         self.memory_pool = memory_pool  # shared MemoryPool (optional)
         self._compiled_cache: dict = {}
+        from .system_catalog import attach_system_tables
+
+        attach_system_tables(self.catalog, self)
 
     def _memory_context(self):
         """Per-query accounting when a limit or shared pool is configured."""

@@ -319,9 +319,12 @@ class Parser:
             self.expect("op", ")")
             return rel
         name = self.expect("ident").value
-        # swallow catalog.schema qualifiers: keep last part
+        # catalog.schema qualifiers: the system catalog resolves by full
+        # dotted name (system.runtime.queries); others keep the last part
+        parts = [name]
         while self.accept("op", "."):
-            name = self.expect("ident").value
+            parts.append(self.expect("ident").value)
+        name = ".".join(parts) if parts[0] == "system" else parts[-1]
         alias = None
         if self.kw("as"):
             alias = self.expect("ident").value
