@@ -541,11 +541,14 @@ class Executor:
         okeys = [SortKey(eval_expr(self._bind(e, child), child), asc, nf)
                  for e, asc, nf in node.order_by]
         calls = [
-            WCall(fn,
-                  None if arg is None
-                  else eval_expr(self._bind(arg, child), child),
-                  sym, t)
-            for sym, fn, arg, t in node.calls
+            WCall(c.fn,
+                  None if c.arg is None
+                  else eval_expr(self._bind(c.arg, child), child),
+                  c.symbol, c.type, frame=c.frame,
+                  default=None if c.default is None
+                  else eval_expr(self._bind(c.default, child), child),
+                  param=c.param)
+            for c in node.calls
         ]
         return window(child, pcols, ranges, okeys, calls)
 

@@ -157,6 +157,8 @@ class WindowCall(Expr):
     partition_by: List[Expr]
     order_by: List["OrderItem"]
     is_star: bool = False
+    # (unit, start_kind, start_val, end_kind, end_val); None = SQL default
+    frame: Optional[tuple] = None
 
 
 @dataclass

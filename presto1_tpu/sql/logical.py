@@ -149,17 +149,36 @@ class Union(LogicalNode):
 
 
 @dataclass
+class WinCall:
+    """One window function call (analog of Trino's WindowFunctionDefinition).
+
+    ``frame`` = (unit, start_kind, start_val, end_kind, end_val) with kinds
+    'up'/'p'/'c'/'f'/'uf'; None = SQL default frame.  ``param`` carries the
+    constant integer argument (lag/lead offset, nth_value n, ntile buckets);
+    ``default`` is lag/lead's third argument.
+    """
+
+    symbol: str
+    fn: str
+    arg: Optional[Expr]
+    type: SqlType
+    frame: Optional[tuple] = None
+    default: Optional[Expr] = None
+    param: Optional[int] = None
+
+
+@dataclass
 class WindowNode(LogicalNode):
     child: LogicalNode
     partition_by: List[Expr]
     order_by: List[Tuple[Expr, bool, Optional[bool]]]
-    calls: List[Tuple[str, str, Optional[Expr], SqlType]]  # (sym, fn, arg, type)
+    calls: List[WinCall]
 
     @property
     def schema(self):
         out = dict(self.child.schema)
-        for sym, _, _, t in self.calls:
-            out[sym] = t
+        for c in self.calls:
+            out[c.symbol] = c.type
         return out
 
     @property

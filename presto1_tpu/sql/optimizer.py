@@ -515,14 +515,15 @@ def _prune(node: LogicalNode, needed: Set[str]) -> LogicalNode:
             new_inputs.append(_prune(child, cn))
         return Union(new_inputs, keep)
     if isinstance(node, WindowNode):
-        child_needed = set(needed) - {s for s, _, _, _ in node.calls}
+        child_needed = set(needed) - {c.symbol for c in node.calls}
         for e in node.partition_by:
             child_needed |= _refs(e)
         for e, _, _ in node.order_by:
             child_needed |= _refs(e)
-        for _, _, arg, _ in node.calls:
-            if arg is not None:
-                child_needed |= _refs(arg)
+        for c in node.calls:
+            for arg in (c.arg, c.default):
+                if arg is not None:
+                    child_needed |= _refs(arg)
         return WindowNode(_prune(node.child, child_needed),
                           node.partition_by, node.order_by, node.calls)
     if isinstance(node, Limit):

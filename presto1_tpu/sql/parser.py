@@ -35,6 +35,8 @@ KEYWORDS = {
     "union", "all", "nulls", "first", "last", "true", "false", "for",
     "create", "table", "insert", "into", "values", "drop",
     "over", "partition", "explain", "analyze",
+    "rows", "range", "groups", "unbounded", "preceding", "following",
+    "current", "row",
 }
 
 
@@ -558,9 +560,41 @@ class Parser:
             order.append(self._order_item())
             while self.accept("op", ","):
                 order.append(self._order_item())
+        frame = None
+        unit = None
+        for u in ("rows", "range", "groups"):
+            if self.kw(u):
+                unit = u
+                break
+        if unit is not None:
+            if self.kw("between"):
+                s_kind, s_val = self._frame_bound()
+                self.expect("kw", "and")
+                e_kind, e_val = self._frame_bound()
+            else:
+                s_kind, s_val = self._frame_bound()
+                e_kind, e_val = "c", None
+            frame = (unit, s_kind, s_val, e_kind, e_val)
         self.expect("op", ")")
         return ast.WindowCall(fc.name, fc.args, partition, order,
-                              is_star=fc.is_star)
+                              is_star=fc.is_star, frame=frame)
+
+    def _frame_bound(self):
+        """UNBOUNDED PRECEDING|FOLLOWING / CURRENT ROW / <n> PRECEDING|FOLLOWING"""
+        if self.kw("unbounded"):
+            if self.kw("preceding"):
+                return "up", None
+            self.expect("kw", "following")
+            return "uf", None
+        if self.kw("current"):
+            self.expect("kw", "row")
+            return "c", None
+        t = self.expect("number")
+        v = int(t.value)
+        if self.kw("preceding"):
+            return "p", v
+        self.expect("kw", "following")
+        return "f", v
 
     def _case(self) -> ast.Expr:
         self.expect("kw", "case")

@@ -24,7 +24,7 @@ from ..types import (
 from . import ast
 from .logical import (
     AggCall, Aggregate, Filter, Join, Limit, LogicalNode, Output, Project,
-    Scan, Sort, Union, WindowNode,
+    Scan, Sort, Union, WinCall, WindowNode,
 )
 
 EPOCH = np.datetime64("1970-01-01", "D")
@@ -290,24 +290,63 @@ class Planner:
                 order_irs = [(wconv.convert(o.expr), o.ascending,
                               o.nulls_first) for o in w.order_by]
                 arg_ir = None
+                default_ir = None
+                param = None
                 fn = w.name
+                frame = w.frame
+                if frame is not None:
+                    unit, sk, sv, ek, ev = frame
+                    if unit in ("range", "groups") and ("p" in (sk, ek)
+                                                        or "f" in (sk, ek)):
+                        raise PlanError(
+                            f"{unit.upper()} frames with numeric offsets are "
+                            "not supported (use ROWS)")
+                    order_i = ["up", "p", "c", "f", "uf"]
+                    if order_i.index(sk) > order_i.index(ek) and not (
+                            sk == ek and sk in ("p", "f")):
+                        raise PlanError("window frame start after frame end")
+
+                def const_int(e, what):
+                    if not isinstance(e, ast.NumberLit) \
+                            or not e.text.lstrip("-").isdigit():
+                        raise PlanError(
+                            f"{fn}: {what} must be an integer constant")
+                    return int(e.text)
+
                 if w.is_star and fn == "count":
                     arg_ir = None
+                elif fn == "ntile":
+                    param = const_int(w.args[0], "bucket count")
+                elif fn in ("lag", "lead"):
+                    arg_ir = wconv.convert(w.args[0])
+                    param = (const_int(w.args[1], "offset")
+                             if len(w.args) > 1 else 1)
+                    if len(w.args) > 2:
+                        default_ir = wconv.convert(w.args[2])
+                        if default_ir.type != arg_ir.type:
+                            default_ir = ir.call("cast", default_ir,
+                                                 type=arg_ir.type)
+                elif fn == "nth_value":
+                    arg_ir = wconv.convert(w.args[0])
+                    param = const_int(w.args[1], "n")
                 elif w.args:
                     arg_ir = wconv.convert(w.args[0])
-                if fn in ("row_number", "rank", "dense_rank", "count"):
+                if fn in ("row_number", "rank", "dense_rank", "count",
+                          "ntile"):
                     t = BIGINT
                 elif fn == "avg":
                     t = DOUBLE
                 elif fn == "sum":
                     t = agg_output_type("sum", arg_ir.type)
-                elif fn in ("min", "max"):
+                elif fn in ("min", "max", "lag", "lead", "first_value",
+                            "last_value", "nth_value"):
                     t = arg_ir.type
                 else:
                     raise PlanError(f"unsupported window function {fn}")
                 sym = self.symbol(fn)
                 node = WindowNode(node, part_irs, order_irs,
-                                  [(sym, fn, arg_ir, t)])
+                                  [WinCall(sym, fn, arg_ir, t, frame=frame,
+                                           default=default_ir, param=param)])
                 agg_map[id(w)] = ir.ColumnRef(sym, t)
             if wconv.used_outer:
                 raise PlanError("correlated window expression")

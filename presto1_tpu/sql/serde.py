@@ -121,8 +121,13 @@ def plan_to_json(n: L.LogicalNode) -> Dict[str, Any]:
             "partition_by": [expr_to_json(e) for e in n.partition_by],
             "order_by": [[expr_to_json(e), asc, nf]
                          for e, asc, nf in n.order_by],
-            "calls": [[s, fn, None if a is None else expr_to_json(a), _t(t)]
-                      for s, fn, a, t in n.calls],
+            "calls": [[c.symbol, c.fn,
+                       None if c.arg is None else expr_to_json(c.arg),
+                       _t(c.type),
+                       None if c.frame is None else list(c.frame),
+                       None if c.default is None else expr_to_json(c.default),
+                       c.param]
+                      for c in n.calls],
         }
     if isinstance(n, L.Sort):
         return {"k": "sort", "child": plan_to_json(n.child),
@@ -169,8 +174,13 @@ def plan_from_json(d: Dict[str, Any]) -> L.LogicalNode:
             plan_from_json(d["child"]),
             [expr_from_json(e) for e in d["partition_by"]],
             [(expr_from_json(e), asc, nf) for e, asc, nf in d["order_by"]],
-            [(s, fn, None if a is None else expr_from_json(a),
-              parse_type_str(t)) for s, fn, a, t in d["calls"]])
+            [L.WinCall(c[0], c[1],
+                       None if c[2] is None else expr_from_json(c[2]),
+                       parse_type_str(c[3]),
+                       frame=None if c[4] is None else tuple(c[4]),
+                       default=None if c[5] is None else expr_from_json(c[5]),
+                       param=c[6])
+             for c in d["calls"]])
     if k == "sort":
         return L.Sort(plan_from_json(d["child"]),
                       [(expr_from_json(e), asc, nf)
