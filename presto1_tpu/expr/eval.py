@@ -95,6 +95,12 @@ def eval_predicate(expr: Expr, batch: RecordBatch) -> jnp.ndarray:
 
 def _eval(expr: Expr, batch: RecordBatch):
     if isinstance(expr, Literal):
+        if expr.value is None:  # typed NULL (grouping sets, defaults)
+            n = batch.capacity()
+            t = expr.type
+            dt = jnp.int64 if t.kind == "decimal" else np.dtype(t.np_dtype)
+            dic = np.empty(0, dtype="U1") if t.is_string else None
+            return (jnp.zeros((n,), dt), jnp.zeros((n,), bool), dic)
         return _literal_value(expr), None, None
     if isinstance(expr, ColumnRef):
         c = batch[expr.name]

@@ -45,6 +45,9 @@ class Select(Node):
     order_by: List["OrderItem"] = field(default_factory=list)
     limit: Optional[int] = None
     distinct: bool = False
+    # GROUPING SETS / ROLLUP / CUBE: list of sets, each a list of indices
+    # into group_by; None = plain GROUP BY
+    grouping_sets: Optional[List[List[int]]] = None
 
 
 @dataclass

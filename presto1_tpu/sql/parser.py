@@ -222,11 +222,20 @@ class Parser:
             from_ = self._from_relation()
         where = self._expr() if self.kw("where") else None
         group_by = []
+        grouping_sets = None
         if self.kw("group"):
             self.expect("kw", "by")
-            group_by.append(self._expr())
+            # each element is a "factor": a list of index-sets into group_by;
+            # plain exprs are the single-set factor [[i]]; the final sets are
+            # the cross-product of all factors (SQL grouping-set semantics)
+            factors = [self._group_element(group_by)]
             while self.accept("op", ","):
-                group_by.append(self._expr())
+                factors.append(self._group_element(group_by))
+            if any(len(f) != 1 or len(f[0]) != 1 for f in factors):
+                sets = [[]]
+                for f in factors:
+                    sets = [g + s for g in sets for s in f]
+                grouping_sets = sets
         having = self._expr() if self.kw("having") else None
         order_by = []
         if self.kw("order"):
@@ -238,7 +247,59 @@ class Parser:
         if self.kw("limit"):
             limit = int(self.expect("number").value)
         return ast.Select(items, from_, where, group_by, having, order_by,
-                          limit, distinct)
+                          limit, distinct, grouping_sets=grouping_sets)
+
+    def _group_add(self, group_by, e):
+        """Append a grouping expr, deduplicating structurally equal ones."""
+        for i, g in enumerate(group_by):
+            if g == e:
+                return i
+        group_by.append(e)
+        return len(group_by) - 1
+
+    def _group_element(self, group_by):
+        """One GROUP BY element -> a factor: a list of index-sets.
+
+        Plain expr -> [[i]]; ROLLUP(a,b) -> [[a,b],[a],[]];
+        CUBE(a,b) -> all subsets; GROUPING SETS (...) -> listed sets.
+        """
+        t = self.peek()
+        word = t.value.lower() if t.kind == "ident" else None
+        if word in ("rollup", "cube") and self.peek(1).value == "(":
+            self.next()
+            self.next()
+            cols = [self._expr()]
+            while self.accept("op", ","):
+                cols.append(self._expr())
+            self.expect("op", ")")
+            idxs = [self._group_add(group_by, c) for c in cols]
+            if word == "rollup":
+                return [idxs[:k] for k in range(len(idxs), -1, -1)]
+            return [[idxs[j] for j in range(len(idxs)) if m >> j & 1]
+                    for m in range(1 << len(idxs))]
+        if word == "grouping" and self.peek(1).kind == "ident" \
+                and self.peek(1).value.lower() == "sets":
+            self.next()
+            self.next()
+            self.expect("op", "(")
+            sets = [self._grouping_set(group_by)]
+            while self.accept("op", ","):
+                sets.append(self._grouping_set(group_by))
+            self.expect("op", ")")
+            return sets
+        return [[self._group_add(group_by, self._expr())]]
+
+    def _grouping_set(self, group_by):
+        if self.accept("op", "("):
+            cols = []
+            if self.peek().value != ")":
+                cols.append(self._expr())
+                while self.accept("op", ","):
+                    cols.append(self._expr())
+            self.expect("op", ")")
+        else:
+            cols = [self._expr()]
+        return [self._group_add(group_by, c) for c in cols]
 
     def _select_item(self) -> ast.SelectItem:
         if self.accept("op", "*"):

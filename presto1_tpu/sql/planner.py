@@ -417,7 +417,51 @@ class Planner:
                 passthrough = [(s, ir.ColumnRef(s, t))
                                for s, t in node.schema.items()]
                 node = Project(node, passthrough + pre_extra)
-            node = Aggregate(node, group_syms, aggcalls)
+            if sel.grouping_sets is None:
+                node = Aggregate(node, group_syms, aggcalls)
+            else:
+                # GROUPING SETS/ROLLUP/CUBE: one Aggregate per set over the
+                # shared child, absent group columns projected as typed
+                # NULLs, branches combined by UNION ALL (the analog of the
+                # reference's GroupIdNode + repeated-aggregation rewrite).
+                child = node
+                n_explicit = len(sel.group_by)
+                extra_syms = group_syms[n_explicit:]  # decorrelation keys
+                types = {s: child.schema[s] for s in group_syms}
+                branches = []
+                for st in sel.grouping_sets:
+                    present: List[str] = []
+                    seen = set()
+                    for j in st:
+                        sym = group_syms[j]
+                        if sym not in seen:
+                            seen.add(sym)
+                            present.append(sym)
+                    for sym in extra_syms:
+                        if sym not in seen:
+                            seen.add(sym)
+                            present.append(sym)
+                    agg_n = Aggregate(child, present, aggcalls)
+                    outs: List[Tuple[str, ir.Expr]] = []
+                    for sym in group_syms:
+                        if sym in seen:
+                            outs.append((sym, ir.ColumnRef(sym, types[sym])))
+                        else:
+                            outs.append((sym, ir.Literal(None, types[sym])))
+                    for a in aggcalls:
+                        outs.append((a.symbol, ir.ColumnRef(a.symbol, a.type)))
+                    branches.append(Project(agg_n, outs))
+                seen_u = set()
+                u_outputs = []
+                for sym in group_syms:
+                    if sym not in seen_u:
+                        seen_u.add(sym)
+                        u_outputs.append(
+                            (sym, types[sym], [sym] * len(branches)))
+                for a in aggcalls:
+                    u_outputs.append(
+                        (a.symbol, a.type, [a.symbol] * len(branches)))
+                node = Union(branches, u_outputs)
             scope = Scope(group_field_map, outer)
 
         # HAVING (may contain uncorrelated scalar subqueries, e.g. Q11)
