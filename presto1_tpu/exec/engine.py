@@ -81,7 +81,11 @@ class Engine:
                     out = Executor(
                         self.catalog, stats=stats, memory=mem,
                         dynamic_filtering=self.session.get(
-                            "enable_dynamic_filtering")).execute(plan)
+                            "enable_dynamic_filtering"),
+                        spill_threshold=(
+                            self.session.get("spill_threshold")
+                            if self.session.get("spill_enabled") else 0),
+                    ).execute(plan)
                 finally:
                     if mem is not None:
                         mem.release_all()

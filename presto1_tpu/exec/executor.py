@@ -64,7 +64,8 @@ class Executor:
                  record: Optional[Dict[Path, dict]] = None,
                  scan_arrays: Optional[Dict[str, jnp.ndarray]] = None,
                  stats=None, stubs: Optional[Dict[Path, RecordBatch]] = None,
-                 memory=None, dynamic_filtering: bool = True):
+                 memory=None, dynamic_filtering: bool = True,
+                 spill_threshold: int = 0):
         self.catalog = catalog
         self.compiled = compiled
         self.record: Dict[Path, dict] = record if record is not None else {}
@@ -73,6 +74,9 @@ class Executor:
         self.stubs = stubs or {}
         self.memory = memory  # QueryMemoryContext (eager mode accounting)
         self.dynamic_filtering = dynamic_filtering
+        # spill: inputs above this byte count run partitioned through host
+        # RAM (eager mode only; 0 = disabled)
+        self.spill_threshold = spill_threshold
         self.capture_paths: set = set()
         self.captured: Dict[Path, RecordBatch] = {}
         self.overflow_checks: List[jnp.ndarray] = []
@@ -231,6 +235,12 @@ class Executor:
         else:
             child = self.execute(child_node, path + (0,))
 
+        if not self.compiled and self.spill_threshold and node.group:
+            from .memory import batch_bytes
+
+            if batch_bytes(child) > self.spill_threshold:
+                return self._spilled_aggregate(node, path, child, mask)
+
         aggs = [
             AggSpec(
                 a.fn,
@@ -327,6 +337,13 @@ class Executor:
         left = self.execute(node.left, path + (0,))
         right = self.execute(node.right, path + (1,))
         rec = self._rec(path)
+
+        if (not self.compiled and self.spill_threshold
+                and node.kind != "cross" and node.equis):
+            from .memory import batch_bytes
+
+            if batch_bytes(left) + batch_bytes(right) > self.spill_threshold:
+                return self._grace_join(node, path, left, right)
 
         if node.kind == "cross":
             if not self.compiled:
@@ -515,6 +532,141 @@ class Executor:
             rec["full_capacity"] = max(cap_f, rec.get("full_capacity", 0))
         out = concat_batches(pairs, anti_full, cap_f)
         return self._shrink(self._drop_temp(out))
+
+    def _grace_join(self, node: Join, path: Path, left: RecordBatch,
+                    right: RecordBatch) -> RecordBatch:
+        """Grace hash join through host RAM (the HashBuilderOperator
+        SPILLING_INPUT path, ``operator/HashBuilderOperator.java:155``,
+        re-designed for TPU: spill medium = host RAM over PCIe).
+
+        Both sides hash-partition on the join keys; each partition pair
+        joins independently on device with inputs/results parked in host
+        RAM, bounding peak HBM to ~1/P of the working set.  Eager
+        (discovery) mode only — the compiled path assumes resident inputs.
+        """
+        from .memory import batch_bytes
+        from .spill import (choose_partitions, concat_spilled, spill,
+                            spill_partitions, unspill)
+
+        rec = self._rec(path)
+        rec["spilled"] = True
+        lb, rb = left, right
+        lkeys, rkeys = [], []
+        for i, (a, b) in enumerate(node.equis):
+            ln, rn = f"__lk{i}", f"__rk{i}"
+            lb = RecordBatch(
+                {**lb.columns, ln: eval_expr(self._bind(a, left), left)},
+                lb.num_rows)
+            rb = RecordBatch(
+                {**rb.columns, rn: eval_expr(self._bind(b, right), right)},
+                rb.num_rows)
+            lkeys.append(ln)
+            rkeys.append(rn)
+        if node.kind in ("inner", "semi"):
+            lb = self._dynamic_filter(rec, lb, rb, lkeys, rkeys)
+        lr = key_ranges([lb[k] for k in lkeys], lb.num_rows)
+        rr = key_ranges([rb[k] for k in rkeys], rb.num_rows)
+        ranges = [(min(a[0], b[0]), max(a[1], b[1]))
+                  for a, b in zip(lr, rr)]
+        residual = None
+        if node.residual is not None:
+            merged = RecordBatch({**lb.columns, **rb.columns}, 0)
+            residual = self._bind(node.residual, merged)
+        total = batch_bytes(lb) + batch_bytes(rb)
+        n_parts = choose_partitions(total, self.spill_threshold)
+        rec["spill_partitions"] = n_parts
+        lparts = spill_partitions(lb, lkeys, ranges, n_parts)
+        rparts = spill_partitions(rb, rkeys, ranges, n_parts)
+        del lb, rb, left, right  # free device inputs before the loop
+        outs = []
+        for p, (lp, rp) in enumerate(zip(lparts, rparts)):
+            if p > 0:  # partition 0 always runs so the schema exists
+                if node.kind == "full":
+                    if lp.num_rows == 0 and rp.num_rows == 0:
+                        continue
+                elif lp.num_rows == 0:
+                    continue
+                elif rp.num_rows == 0 and node.kind in ("inner", "semi"):
+                    continue
+            ld, rd = unspill(lp), unspill(rp)
+            if node.kind == "full":
+                out = self._full_join(node, ld, rd, lkeys, rkeys, ranges,
+                                      residual, {})
+            elif node.kind in ("semi", "anti"):
+                cap = round_capacity(max(int(ld.num_rows), 1))
+                if residual is not None:
+                    cap_pairs = round_capacity(max(int(ld.num_rows) * 4, 128))
+                    while True:
+                        st: Dict[str, object] = {}
+                        out = hash_join(ld, rd, lkeys, rkeys, node.kind,
+                                        ranges, cap_pairs, residual=residual,
+                                        stats=st)
+                        if int(st["pairs_total"]) <= cap_pairs:  # type: ignore[arg-type]
+                            break
+                        cap_pairs = round_capacity(int(st["pairs_total"]))  # type: ignore[arg-type]
+                else:
+                    out = hash_join(ld, rd, lkeys, rkeys, node.kind, ranges,
+                                    cap)
+                out = self._drop_temp(out)
+            else:  # inner / left
+                factor = 1 if node.build_unique else 2
+                cap = round_capacity(max(int(ld.num_rows) * factor, 128))
+                while True:
+                    out = hash_join(ld, rd, lkeys, rkeys, node.kind, ranges,
+                                    cap, residual=residual,
+                                    build_unique=node.build_unique)
+                    if int(out.num_rows) <= cap:
+                        break
+                    cap = round_capacity(int(out.num_rows))
+                out = self._drop_temp(out)
+            outs.append(spill(self._shrink(out)))
+        return self._shrink(unspill(concat_spilled(outs)))
+
+    def _spilled_aggregate(self, node: Aggregate, path: Path,
+                           child: RecordBatch, mask) -> RecordBatch:
+        """Partitioned aggregation through host RAM (the
+        SpillableHashAggregationBuilder analog; partitions double as the
+        grouped-execution Lifespan loop — each group-key partition is
+        aggregated end-to-end independently, outputs are disjoint)."""
+        from .memory import batch_bytes
+        from .spill import (choose_partitions, concat_spilled, spill,
+                            spill_partitions, unspill)
+        from ..ops.filter import compact
+
+        rec = self._rec(path)
+        rec["spilled"] = True
+        if mask is not None:  # materialise the fused filter before split
+            child = self._shrink(compact(child, mask))
+        primary = node.primary or node.group
+        ranges = key_ranges([child[s] for s in primary], child.num_rows)
+        n_parts = choose_partitions(batch_bytes(child), self.spill_threshold)
+        rec["spill_partitions"] = n_parts
+        parts = spill_partitions(child, primary, ranges, n_parts)
+        del child
+        outs = []
+        for p, part in enumerate(parts):
+            if p > 0 and part.num_rows == 0:
+                continue
+            d = unspill(part)
+            aggs = [
+                AggSpec(a.fn,
+                        None if a.arg is None
+                        else eval_expr(self._bind(a.arg, d), d),
+                        a.symbol)
+                for a in node.aggs
+            ]
+            keys = [(s, d[s]) for s in primary]
+            carry = [(s, d[s]) for s in node.group if s not in primary]
+            pr = key_ranges([c for _, c in keys], d.num_rows)
+            span = 1
+            for lo, hi in pr:
+                span *= (hi - lo + 2)
+                if span > d.num_rows:
+                    break
+            mg = round_capacity(max(min(int(d.num_rows), span), 1))
+            out = group_aggregate(keys, aggs, d.num_rows, pr, mg, carry=carry)
+            outs.append(spill(self._shrink(out)))
+        return self._shrink(unspill(concat_spilled(outs)))
 
     def _drop_temp(self, b: RecordBatch) -> RecordBatch:
         cols = {n: c for n, c in b.columns.items() if not n.startswith("__")}

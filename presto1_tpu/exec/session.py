@@ -32,6 +32,12 @@ SYSTEM_SESSION_PROPERTIES: Dict[str, tuple] = {
     "enable_dynamic_filtering": (bool, True,
                                  "build-side min/max domains compact "
                                  "join probes"),
+    "spill_enabled": (bool, True,
+                      "partition joins/aggregations through host RAM when "
+                      "inputs exceed spill_threshold (eager mode)"),
+    "spill_threshold": (int, 0,
+                        "input bytes above which an operator spills "
+                        "(0 = never)"),
 }
 
 
