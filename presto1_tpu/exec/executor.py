@@ -41,8 +41,8 @@ from ..ops.filter import filter_mask
 from ..ops.join import cross_join
 from ..ops.common import key_ranges
 from ..sql.logical import (
-    Aggregate, Filter, Join, Limit, LogicalNode, Output, Project, Scan, Sort,
-    Union, WindowNode,
+    Aggregate, Filter, Join, Limit, LogicalNode, Output, Project, Scan,
+    SingleRow, Sort, Union, WindowNode,
 )
 
 Path = Tuple[int, ...]
@@ -170,6 +170,12 @@ class Executor:
                 i += 1
             cols[key] = c
         return RecordBatch(cols, b.num_rows)
+
+    def _x_SingleRow(self, node: SingleRow, path: Path) -> RecordBatch:
+        from ..types import BIGINT
+
+        return RecordBatch(
+            {"__row__": Column(jnp.zeros((128,), jnp.int64), BIGINT)}, 1)
 
     def _x_Scan(self, node: Scan, path: Path) -> RecordBatch:
         table = self.catalog.table(node.table)

@@ -113,7 +113,11 @@ def _eval(expr: Expr, batch: RecordBatch):
             (c.data >= 0) & (c.data < overflow), c.data, overflow
         )
         data = jnp.take(table, codes)
-        return _norm(data, c.validity), c.validity, expr.dictionary
+        validity = c.validity
+        if expr.valid_table is not None:  # NULL-bearing fold
+            ve = jnp.take(jnp.asarray(expr.valid_table), codes)
+            validity = ve if validity is None else (validity & ve)
+        return _norm(data, validity), validity, expr.dictionary
     if isinstance(expr, Call):
         return _eval_call(expr, batch)
     raise TypeError(f"cannot evaluate {expr}")
@@ -259,6 +263,12 @@ def _eval_call(expr: Call, batch: RecordBatch):
     if fn == "sqrt":
         a, va, _ = _eval(expr.args[0], batch)
         return _norm(jnp.sqrt(_to_double(a, expr.args[0].type)), va), va, None
+
+    if fn in ("ln", "exp", "log2", "log10"):
+        a, va, _ = _eval(expr.args[0], batch)
+        f = {"ln": jnp.log, "exp": jnp.exp, "log2": jnp.log2,
+             "log10": jnp.log10}[fn]
+        return _norm(f(_to_double(a, expr.args[0].type)), va), va, None
 
     if fn == "power":
         a, va, _ = _eval(expr.args[0], batch)
@@ -493,8 +503,17 @@ def _fold(expr: Call, dicts) -> Expr:
         table = np.append(codes.astype(np.int32), np.int32(0))
         return DictLookup(colref, table, VARCHAR, label=_label(expr), dictionary=new_dict)
     table = np.asarray(values)
+    valid_table = None
+    if table.dtype == object:  # NULL-bearing fold (CASE without ELSE)
+        valid = np.array([v is not None for v in values], dtype=bool)
+        dt = (np.int64 if expr.type.kind == "decimal"
+              else np.dtype(expr.type.np_dtype))
+        table = np.array([v if v is not None else 0 for v in values],
+                         dtype=dt)
+        valid_table = np.append(valid, np.zeros((1,), bool))
     table = np.append(table, np.zeros((1,), dtype=table.dtype))
-    return DictLookup(colref, table, expr.type, label=_label(expr))
+    return DictLookup(colref, table, expr.type, label=_label(expr),
+                      valid_table=valid_table)
 
 
 def _label(expr: Expr) -> str:
@@ -557,10 +576,16 @@ def _eval_strings(expr: Expr, values: np.ndarray):
     if fn == "or":
         return np.asarray(args[0]) | np.asarray(args[1])
     if fn == "case":
-        out = np.broadcast_to(np.asarray(args[-1]), values.shape).copy()
+        # None branch values (CASE without ELSE) keep the table in object
+        # dtype; _fold converts it to a typed table + validity mask
+        has_null = any(a is None for a in args[1::2]) or args[-1] is None
+        dt = object if has_null else None
+        out = np.broadcast_to(np.asarray(args[-1], dtype=dt),
+                              values.shape).copy()
         for i in range(len(args) - 3, -1, -2):
             cond = np.broadcast_to(np.asarray(args[i]), values.shape)
-            val = np.broadcast_to(np.asarray(args[i + 1]), values.shape)
+            val = np.broadcast_to(np.asarray(args[i + 1], dtype=dt),
+                                  values.shape)
             out = np.where(cond, val, out)
         return out
     if fn == "cast":

@@ -72,13 +72,17 @@ class DictLookup(Expr):
     type: SqlType
     label: str = ""
     dictionary: Any = None  # for varchar-valued lookups: the new sorted dict
+    valid_table: Any = None  # bool per entry; None = all valid (NULL-aware
+    #                          folds, e.g. CASE without ELSE)
 
-    def __init__(self, column, table, type, label="", dictionary=None):
+    def __init__(self, column, table, type, label="", dictionary=None,
+                 valid_table=None):
         object.__setattr__(self, "column", column)
         object.__setattr__(self, "table", table)
         object.__setattr__(self, "type", type)
         object.__setattr__(self, "label", label)
         object.__setattr__(self, "dictionary", dictionary)
+        object.__setattr__(self, "valid_table", valid_table)
 
     def __hash__(self):
         return hash((self.column, self.label, id(self.table)))

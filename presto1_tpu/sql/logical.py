@@ -39,6 +39,24 @@ class Scan(LogicalNode):
 
 
 @dataclass
+class SingleRow(LogicalNode):
+    """One anonymous row, no columns — FROM-less SELECT (the reference's
+    ValuesNode with a single empty row, ``sql/planner/plan/ValuesNode``)."""
+
+    @property
+    def schema(self):
+        return {}
+
+    @property
+    def children(self):
+        return []
+
+    def with_children(self, children):
+        assert not children
+        return self
+
+
+@dataclass
 class Filter(LogicalNode):
     child: LogicalNode
     predicate: Expr

@@ -435,27 +435,92 @@ def _reduce_group_keys(node: LogicalNode) -> LogicalNode:
 
 
 def _rewrite_distinct(node: LogicalNode) -> LogicalNode:
+    """count(DISTINCT x) [+ other aggregates] -> two-level aggregation.
+
+    The inner aggregate groups by (group keys, x), deduplicating x per
+    group; the distinct count is then a plain count in the outer
+    aggregate.  Non-distinct aggregates ride along as partials computed
+    per (group, x) subgroup and recombined in the outer level (sum->sum,
+    count->sum, min/max->min/max, avg->sum/count + a division projection)
+    — the single-pass analog of the reference's MarkDistinct plan
+    (``sql/planner/plan/MarkDistinctNode.java``) that stays NULL-group
+    safe with no self-join.
+    """
     node = node.with_children([_rewrite_distinct(c) for c in node.children])
     if not isinstance(node, Aggregate) or not any(a.distinct for a in node.aggs):
         return node
-    if len(node.aggs) != 1:
-        raise NotImplementedError("mixed distinct aggregates")
-    a = node.aggs[0]
+    dist = [a for a in node.aggs if a.distinct]
+    plain = [a for a in node.aggs if not a.distinct]
+    if len(dist) > 1:
+        raise NotImplementedError("multiple distinct aggregates")
+    a = dist[0]
     if a.fn != "count":
         raise NotImplementedError(f"{a.fn}(distinct)")
     child = node.child
+    extra: List[Tuple[str, ir.Expr]] = []
     if isinstance(a.arg, ir.ColumnRef):
         arg_sym = a.arg.name
     else:
         arg_sym = f"{a.symbol}_arg"
-        passthrough = [(s, ir.ColumnRef(s, t)) for s, t in child.schema.items()]
-        child = Project(child, passthrough + [(arg_sym, a.arg)])
-    inner = Aggregate(child, node.group + [arg_sym], [])
+        extra.append((arg_sym, a.arg))
+    # partial (inner) aggregates for the non-distinct calls
+    from ..types import BIGINT, DOUBLE
+
+    inner_aggs: List[AggCall] = []
+    outer_aggs: List[AggCall] = [None]  # placeholder for the distinct count
+    post: List[Tuple[str, ir.Expr]] = []  # avg divisions (if any)
+    need_post = False
+    for i, p in enumerate(plain):
+        if p.fn in ("min", "max", "sum"):
+            inner_aggs.append(AggCall(p.symbol, p.fn, p.arg, False, p.type))
+            outer_aggs.append(AggCall(
+                p.symbol, p.fn, ir.ColumnRef(p.symbol, p.type), False,
+                p.type))
+            post.append((p.symbol, ir.ColumnRef(p.symbol, p.type)))
+        elif p.fn in ("count", "count_star"):
+            psym = f"{p.symbol}_p"
+            inner_aggs.append(AggCall(psym, p.fn, p.arg, False, BIGINT))
+            outer_aggs.append(AggCall(
+                p.symbol, "sum", ir.ColumnRef(psym, BIGINT), False, BIGINT))
+            post.append((p.symbol, ir.ColumnRef(p.symbol, BIGINT)))
+        elif p.fn == "avg":
+            t = p.arg.type
+            if t.kind == "decimal":
+                from ..types import DecimalType
+                st = DecimalType(38, t.scale) if t.scale <= 4 else DOUBLE
+            elif t.kind == "integer":
+                st = BIGINT
+            else:
+                st = t
+            ssym, csym = f"{p.symbol}_s", f"{p.symbol}_c"
+            inner_aggs.append(AggCall(ssym, "sum", p.arg, False, st))
+            inner_aggs.append(AggCall(csym, "count", p.arg, False, BIGINT))
+            outer_aggs.append(AggCall(
+                ssym, "sum", ir.ColumnRef(ssym, st), False, st))
+            outer_aggs.append(AggCall(
+                csym, "sum", ir.ColumnRef(csym, BIGINT), False, BIGINT))
+            num = ir.call("cast", ir.ColumnRef(ssym, st), type=DOUBLE)
+            den = ir.call("cast", ir.ColumnRef(csym, BIGINT), type=DOUBLE)
+            post.append((p.symbol, ir.call("/", num, den, type=DOUBLE)))
+            need_post = True
+        else:
+            raise NotImplementedError(
+                f"{p.fn} mixed with a distinct aggregate")
+    if extra:
+        passthrough = [(s, ir.ColumnRef(s, t))
+                       for s, t in child.schema.items()]
+        child = Project(child, passthrough + extra)
+    inner = Aggregate(child, node.group + [arg_sym], inner_aggs)
     arg_t = inner.schema[arg_sym]
-    outer = Aggregate(
-        inner, node.group,
-        [AggCall(a.symbol, "count", ir.ColumnRef(arg_sym, arg_t), False, a.type)])
-    return outer
+    outer_aggs[0] = AggCall(a.symbol, "count",
+                            ir.ColumnRef(arg_sym, arg_t), False, a.type)
+    outer = Aggregate(inner, node.group, outer_aggs)
+    if not need_post:
+        return outer
+    outs = [(g, ir.ColumnRef(g, outer.schema[g])) for g in node.group]
+    outs.append((a.symbol, ir.ColumnRef(a.symbol, a.type)))
+    outs.extend(post)
+    return Project(outer, outs)
 
 
 # ---------------------------------------------------------------- pruning

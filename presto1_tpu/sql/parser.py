@@ -17,7 +17,7 @@ from . import ast
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+|--[^\n]*)
-  | (?P<number>\d+\.\d+|\.\d+|\d+)
+  | (?P<number>(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<string>'(?:[^']|'')*')
   | (?P<qident>"(?:[^"]|"")*")
   | (?P<ident>[A-Za-z_][A-Za-z0-9_$]*)

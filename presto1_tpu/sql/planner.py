@@ -24,7 +24,7 @@ from ..types import (
 from . import ast
 from .logical import (
     AggCall, Aggregate, Filter, Join, Limit, LogicalNode, Output, Project,
-    Scan, Sort, Union, WinCall, WindowNode,
+    Scan, SingleRow, Sort, Union, WinCall, WindowNode,
 )
 
 EPOCH = np.datetime64("1970-01-01", "D")
@@ -134,6 +134,18 @@ def parse_type(name: str) -> SqlType:
 
 AGG_FNS = {"sum", "avg", "min", "max", "count"}
 
+# aggregates rewritten into sum/count moments at plan time (reference:
+# operator/aggregation/ Variance/Covariance/Corr state classes;
+# decomposition reuses every execution path — compiled, spilled,
+# distributed partial/final — with no new operator state)
+REWRITTEN_AGGS = {
+    "variance", "var_samp", "var_pop", "stddev", "stddev_samp",
+    "stddev_pop", "covar_samp", "covar_pop", "corr", "regr_slope",
+    "regr_intercept", "approx_distinct", "bool_and", "bool_or", "every",
+    "arbitrary", "any_value", "geometric_mean",
+}
+AGG_FNS = AGG_FNS | REWRITTEN_AGGS
+
 
 def agg_output_type(fn: str, arg_type: Optional[SqlType]) -> SqlType:
     if fn in ("count", "count_star"):
@@ -158,6 +170,205 @@ class Planner:
     def symbol(self, base: str) -> str:
         self._counter += 1
         return f"{base}#{self._counter}"
+
+    def _plan_windows(self, window_calls, node, scope, agg_map,
+                      inner_agg_map) -> "LogicalNode":
+        """Plan window calls over ``node``; results registered in agg_map.
+
+        ``inner_agg_map`` maps aggregate ast nodes already planned (for
+        windows over aggregates, e.g. sum(sum(x)) over (...)).
+        """
+        wconv = ExprConverter(scope, self, agg_map=inner_agg_map)
+        for w in window_calls:
+            part_irs = [wconv.convert(p) for p in w.partition_by]
+            order_irs = [(wconv.convert(o.expr), o.ascending,
+                          o.nulls_first) for o in w.order_by]
+            arg_ir = None
+            default_ir = None
+            param = None
+            fn = w.name
+            frame = w.frame
+            if frame is not None:
+                unit, sk, sv, ek, ev = frame
+                if unit in ("range", "groups") and ("p" in (sk, ek)
+                                                    or "f" in (sk, ek)):
+                    raise PlanError(
+                        f"{unit.upper()} frames with numeric offsets are "
+                        "not supported (use ROWS)")
+                order_i = ["up", "p", "c", "f", "uf"]
+                if order_i.index(sk) > order_i.index(ek) and not (
+                        sk == ek and sk in ("p", "f")):
+                    raise PlanError("window frame start after frame end")
+
+            def const_int(e, what):
+                if not isinstance(e, ast.NumberLit) \
+                        or not e.text.lstrip("-").isdigit():
+                    raise PlanError(
+                        f"{fn}: {what} must be an integer constant")
+                return int(e.text)
+
+            if w.is_star and fn == "count":
+                arg_ir = None
+            elif fn == "ntile":
+                param = const_int(w.args[0], "bucket count")
+            elif fn in ("lag", "lead"):
+                arg_ir = wconv.convert(w.args[0])
+                param = (const_int(w.args[1], "offset")
+                         if len(w.args) > 1 else 1)
+                if len(w.args) > 2:
+                    default_ir = wconv.convert(w.args[2])
+                    if default_ir.type != arg_ir.type:
+                        default_ir = ir.call("cast", default_ir,
+                                             type=arg_ir.type)
+            elif fn == "nth_value":
+                arg_ir = wconv.convert(w.args[0])
+                param = const_int(w.args[1], "n")
+            elif w.args:
+                arg_ir = wconv.convert(w.args[0])
+            if fn in ("row_number", "rank", "dense_rank", "count",
+                      "ntile"):
+                t = BIGINT
+            elif fn == "avg":
+                t = DOUBLE
+            elif fn == "sum":
+                t = agg_output_type("sum", arg_ir.type)
+            elif fn in ("min", "max", "lag", "lead", "first_value",
+                        "last_value", "nth_value"):
+                t = arg_ir.type
+            else:
+                raise PlanError(f"unsupported window function {fn}")
+            sym = self.symbol(fn)
+            node = WindowNode(node, part_irs, order_irs,
+                              [WinCall(sym, fn, arg_ir, t, frame=frame,
+                                       default=default_ir, param=param)])
+            agg_map[id(w)] = ir.ColumnRef(sym, t)
+        if wconv.used_outer:
+            raise PlanError("correlated window expression")
+        return node
+
+    # ------------------------------------------- rewritten aggregates
+
+    def _sum_of(self, aggcalls, expr: ir.Expr) -> ir.Expr:
+        sym = self.symbol("psum")
+        aggcalls.append(AggCall(sym, "sum", expr, False, DOUBLE))
+        return ir.ColumnRef(sym, DOUBLE)
+
+    def _count_of(self, aggcalls, expr: ir.Expr) -> ir.Expr:
+        sym = self.symbol("pcnt")
+        aggcalls.append(AggCall(sym, "count", expr, False, BIGINT))
+        return ir.call("cast", ir.ColumnRef(sym, BIGINT), type=DOUBLE)
+
+    def _rewrite_agg(self, a: ast.FuncCall, fn: str, conv, aggcalls) -> ir.Expr:
+        """Decompose statistical aggregates into sum/count moments.
+
+        Reference: the bytecode-compiled accumulator states in
+        ``operator/aggregation/`` (VarianceState, CovarianceState,
+        CorrelationState, ...).  Here each becomes a closed-form expression
+        over plain sums, so the dense/sorted/distributed/spilled
+        aggregation paths all support them with no new operator state.
+        """
+        def dbl(e_ast):
+            e = conv.convert(e_ast)
+            return e if e.type.kind == "double" \
+                else ir.call("cast", e, type=DOUBLE)
+
+        def lit(v):
+            return ir.Literal(v, DOUBLE)
+
+        def guarded(cond, value):  # CASE WHEN cond THEN value ELSE NULL END
+            return ir.call("case", cond, value, ir.Literal(None, DOUBLE),
+                           type=DOUBLE)
+
+        def mul(x, y):
+            return ir.call("*", x, y, type=DOUBLE)
+
+        def sub(x, y):
+            return ir.call("-", x, y, type=DOUBLE)
+
+        def div(x, y):
+            return ir.call("/", x, y, type=DOUBLE)
+
+        def gt(x, v):
+            return ir.call(">", x, lit(v), type=BOOLEAN)
+
+        def clamp0(x):  # fp cancellation can push moments slightly negative
+            return ir.call("max2", x, lit(0.0), type=DOUBLE)
+
+        if fn == "approx_distinct":
+            arg = conv.convert(a.args[0])
+            sym = self.symbol(fn)
+            # exact distinct count: the sorted-aggregation design makes
+            # exact counting as cheap as a sketch, and it is mergeable
+            # across partitions/shards by construction
+            aggcalls.append(AggCall(sym, "count", arg, True, BIGINT))
+            return ir.ColumnRef(sym, BIGINT)
+        if fn in ("arbitrary", "any_value"):
+            arg = conv.convert(a.args[0])
+            sym = self.symbol(fn)
+            aggcalls.append(AggCall(sym, "min", arg, False, arg.type))
+            return ir.ColumnRef(sym, arg.type)
+        if fn in ("bool_and", "bool_or", "every"):
+            arg = ir.call("cast", conv.convert(a.args[0]), type=INTEGER)
+            mfn = "max" if fn == "bool_or" else "min"
+            sym = self.symbol(fn)
+            aggcalls.append(AggCall(sym, mfn, arg, False, INTEGER))
+            return ir.call("=", ir.ColumnRef(sym, INTEGER),
+                           ir.Literal(1, INTEGER), type=BOOLEAN)
+        if fn == "geometric_mean":
+            x = dbl(a.args[0])
+            lnx = ir.call("ln", x, type=DOUBLE)
+            n = self._count_of(aggcalls, lnx)
+            s = self._sum_of(aggcalls, lnx)
+            return guarded(gt(n, 0.0),
+                           ir.call("exp", div(s, n), type=DOUBLE))
+        if fn in ("variance", "var_samp", "var_pop",
+                  "stddev", "stddev_samp", "stddev_pop"):
+            x = dbl(a.args[0])
+            n = self._count_of(aggcalls, x)
+            sx = self._sum_of(aggcalls, x)
+            sxx = self._sum_of(aggcalls, mul(x, x))
+            m2 = clamp0(sub(sxx, div(mul(sx, sx), n)))
+            pop = fn.endswith("_pop")
+            denom = n if pop else sub(n, lit(1.0))
+            v = div(m2, denom)
+            if fn.startswith("stddev"):
+                v = ir.call("sqrt", v, type=DOUBLE)
+            return guarded(gt(n, 0.0 if pop else 1.0), v)
+        # two-argument moments; SQL regr_* take (dependent y, independent x)
+        e0, e1 = dbl(a.args[0]), dbl(a.args[1])
+        if fn in ("regr_slope", "regr_intercept"):
+            y, x = e0, e1
+        else:
+            x, y = e0, e1
+        # pairwise-null masking: x + 0*y is NULL whenever either is NULL
+        xp = ir.call("+", x, mul(lit(0.0), y), type=DOUBLE)
+        yp = ir.call("+", y, mul(lit(0.0), x), type=DOUBLE)
+        xy = mul(x, y)
+        n = self._count_of(aggcalls, xy)
+        sx = self._sum_of(aggcalls, xp)
+        sy = self._sum_of(aggcalls, yp)
+        sxy = self._sum_of(aggcalls, xy)
+        if fn == "covar_samp":
+            return guarded(gt(n, 1.0),
+                           div(sub(sxy, div(mul(sx, sy), n)),
+                               sub(n, lit(1.0))))
+        if fn == "covar_pop":
+            return guarded(gt(n, 0.0),
+                           div(sub(sxy, div(mul(sx, sy), n)), n))
+        sxx = self._sum_of(aggcalls, mul(xp, xp))
+        num = sub(mul(n, sxy), mul(sx, sy))
+        dxx = clamp0(sub(mul(n, sxx), mul(sx, sx)))
+        if fn == "regr_slope":
+            return guarded(gt(dxx, 0.0), div(num, dxx))
+        if fn == "regr_intercept":
+            slope = div(num, dxx)
+            return guarded(gt(dxx, 0.0),
+                           div(sub(sy, mul(slope, sx)), n))
+        # corr
+        syy = self._sum_of(aggcalls, mul(yp, yp))
+        dyy = clamp0(sub(mul(n, syy), mul(sy, sy)))
+        denom = ir.call("sqrt", mul(dxx, dyy), type=DOUBLE)
+        return guarded(gt(denom, 0.0), div(num, denom))
 
     # ------------------------------------------------------------- entry
 
@@ -214,8 +425,8 @@ class Planner:
 
     def plan_from(self, item: Optional[ast.FromItem], outer: Optional[Scope],
                   ctes) -> RelationPlan:
-        if item is None:
-            raise PlanError("SELECT without FROM is not supported")
+        if item is None:  # FROM-less SELECT: one anonymous row
+            return RelationPlan(SingleRow(), Scope([], outer))
         if isinstance(item, ast.TableRef):
             qualifier = item.alias or item.name
             if item.name in ctes:
@@ -283,73 +494,20 @@ class Planner:
                 _collect_windows(i.expr, window_calls)
         for o in sel.order_by:
             _collect_windows(o.expr, window_calls)
-        if window_calls:
-            wconv = ExprConverter(scope, self)
-            for w in window_calls:
-                part_irs = [wconv.convert(p) for p in w.partition_by]
-                order_irs = [(wconv.convert(o.expr), o.ascending,
-                              o.nulls_first) for o in w.order_by]
-                arg_ir = None
-                default_ir = None
-                param = None
-                fn = w.name
-                frame = w.frame
-                if frame is not None:
-                    unit, sk, sv, ek, ev = frame
-                    if unit in ("range", "groups") and ("p" in (sk, ek)
-                                                        or "f" in (sk, ek)):
-                        raise PlanError(
-                            f"{unit.upper()} frames with numeric offsets are "
-                            "not supported (use ROWS)")
-                    order_i = ["up", "p", "c", "f", "uf"]
-                    if order_i.index(sk) > order_i.index(ek) and not (
-                            sk == ek and sk in ("p", "f")):
-                        raise PlanError("window frame start after frame end")
+        def _win_has_agg(w):
+            tmp: List[ast.FuncCall] = []
+            for x in (list(w.args) + list(w.partition_by)
+                      + [o.expr for o in w.order_by]):
+                _collect_aggs(x, tmp)
+            return bool(tmp)
 
-                def const_int(e, what):
-                    if not isinstance(e, ast.NumberLit) \
-                            or not e.text.lstrip("-").isdigit():
-                        raise PlanError(
-                            f"{fn}: {what} must be an integer constant")
-                    return int(e.text)
-
-                if w.is_star and fn == "count":
-                    arg_ir = None
-                elif fn == "ntile":
-                    param = const_int(w.args[0], "bucket count")
-                elif fn in ("lag", "lead"):
-                    arg_ir = wconv.convert(w.args[0])
-                    param = (const_int(w.args[1], "offset")
-                             if len(w.args) > 1 else 1)
-                    if len(w.args) > 2:
-                        default_ir = wconv.convert(w.args[2])
-                        if default_ir.type != arg_ir.type:
-                            default_ir = ir.call("cast", default_ir,
-                                                 type=arg_ir.type)
-                elif fn == "nth_value":
-                    arg_ir = wconv.convert(w.args[0])
-                    param = const_int(w.args[1], "n")
-                elif w.args:
-                    arg_ir = wconv.convert(w.args[0])
-                if fn in ("row_number", "rank", "dense_rank", "count",
-                          "ntile"):
-                    t = BIGINT
-                elif fn == "avg":
-                    t = DOUBLE
-                elif fn == "sum":
-                    t = agg_output_type("sum", arg_ir.type)
-                elif fn in ("min", "max", "lag", "lead", "first_value",
-                            "last_value", "nth_value"):
-                    t = arg_ir.type
-                else:
-                    raise PlanError(f"unsupported window function {fn}")
-                sym = self.symbol(fn)
-                node = WindowNode(node, part_irs, order_irs,
-                                  [WinCall(sym, fn, arg_ir, t, frame=frame,
-                                           default=default_ir, param=param)])
-                agg_map[id(w)] = ir.ColumnRef(sym, t)
-            if wconv.used_outer:
-                raise PlanError("correlated window expression")
+        # windows whose arguments contain aggregates (sum(sum(x)) over ...)
+        # evaluate over the grouped relation and are planned after the
+        # Aggregate node (SQL logical order: GROUP BY -> HAVING -> window)
+        post_windows = [w for w in window_calls if _win_has_agg(w)]
+        pre_windows = [w for w in window_calls if not _win_has_agg(w)]
+        if pre_windows:
+            node = self._plan_windows(pre_windows, node, scope, agg_map, {})
 
         # aggregate extraction
         agg_asts = []
@@ -401,6 +559,9 @@ class Planner:
             aggcalls: List[AggCall] = []
             for a in agg_asts:
                 fn = a.name if not a.is_star else "count_star"
+                if fn in REWRITTEN_AGGS:
+                    agg_map[id(a)] = self._rewrite_agg(a, fn, conv, aggcalls)
+                    continue
                 if a.is_star:
                     arg_ir = None
                     fn = "count_star"
@@ -469,6 +630,11 @@ class Planner:
             node = self._plan_predicate(
                 split_conjuncts(sel.having), node, scope, ctes, [],
                 allow_correlation=False, agg_map=agg_map)
+
+        # windows over aggregates (evaluated over the grouped relation)
+        if post_windows:
+            node = self._plan_windows(post_windows, node, scope, agg_map,
+                                      agg_map)
 
         # SELECT projections
         conv = ExprConverter(scope, self, agg_map=agg_map)
@@ -704,6 +870,9 @@ def _ast_children(e: ast.Expr):
         return [e.expr]
     if isinstance(e, ast.Substring):
         return [e.expr, e.start] + ([e.length] if e.length else [])
+    if isinstance(e, ast.WindowCall):
+        return (list(e.args) + list(e.partition_by)
+                + [o.expr for o in e.order_by])
     return []
 
 
@@ -735,6 +904,8 @@ class ExprConverter:
         return ir.ColumnRef(f.symbol, f.type)
 
     def _c_NumberLit(self, e: ast.NumberLit) -> ir.Expr:
+        if "e" in e.text or "E" in e.text:  # scientific notation -> double
+            return ir.Literal(float(e.text), DOUBLE)
         if "." in e.text:
             intpart, frac = e.text.split(".")
             scale = len(frac)
@@ -774,7 +945,7 @@ class ExprConverter:
     SCALAR_FNS = {
         "abs", "floor", "ceil", "round", "sqrt", "power", "pow", "mod",
         "nullif", "greatest", "least", "length", "upper", "lower", "trim",
-        "concat", "coalesce",
+        "concat", "coalesce", "ln", "exp", "log2", "log10",
     }
 
     def _c_FuncCall(self, e: ast.FuncCall) -> ir.Expr:
@@ -788,6 +959,8 @@ class ExprConverter:
                 for a in args[1:]:
                     out = ir.call("||", out, a)
                 return out
+            if name in ("ln", "exp", "log2", "log10"):
+                return ir.call(name, args[0], type=DOUBLE)
             return ir.call(name, *args)
         raise PlanError(
             f"aggregate {e.name} in invalid context (or unknown function)")
@@ -802,13 +975,8 @@ class ExprConverter:
         if e.else_ is not None:
             args.append(self.convert(e.else_))
         else:
-            t = args[1].type
-            if t.kind == "decimal":
-                args.append(ir.Literal(0, t))
-            elif t.kind == "double":
-                args.append(ir.Literal(0.0, DOUBLE))
-            else:
-                args.append(ir.Literal(0, t))
+            # SQL: CASE without ELSE yields NULL
+            args.append(ir.Literal(None, args[1].type))
         return ir.call("case", *args)
 
     def _c_Cast(self, e: ast.Cast) -> ir.Expr:

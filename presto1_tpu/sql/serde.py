@@ -55,6 +55,8 @@ def expr_to_json(e: ir.Expr) -> Dict[str, Any]:
             "label": e.label,
             "dictionary": None if e.dictionary is None
             else _np_to_b64(e.dictionary),
+            "valid_table": None if e.valid_table is None
+            else _np_to_b64(e.valid_table),
         }
     if isinstance(e, ir.Call):
         return {"k": "call", "fn": e.fn,
@@ -74,8 +76,11 @@ def expr_from_json(d: Dict[str, Any]) -> ir.Expr:
     if k == "dict":
         col = expr_from_json(d["col"])
         dic = None if d["dictionary"] is None else _np_from_b64(d["dictionary"])
+        vt = d.get("valid_table")
         return ir.DictLookup(col, _np_from_b64(d["table"]), t,
-                             label=d["label"], dictionary=dic)
+                             label=d["label"], dictionary=dic,
+                             valid_table=None if vt is None
+                             else _np_from_b64(vt))
     if k == "call":
         return ir.Call(d["fn"], tuple(expr_from_json(a) for a in d["args"]), t)
     raise ValueError(f"unknown expr kind {k}")
@@ -111,6 +116,8 @@ def plan_to_json(n: L.LogicalNode) -> Dict[str, Any]:
             else expr_to_json(n.residual),
             "build_unique": n.build_unique,
         }
+    if isinstance(n, L.SingleRow):
+        return {"k": "single_row"}
     if isinstance(n, L.Union):
         return {"k": "union",
                 "inputs": [plan_to_json(c) for c in n.inputs],
@@ -165,6 +172,8 @@ def plan_from_json(d: Dict[str, Any]) -> L.LogicalNode:
             [(expr_from_json(a), expr_from_json(b)) for a, b in d["equis"]],
             None if d["residual"] is None else expr_from_json(d["residual"]),
             d["build_unique"])
+    if k == "single_row":
+        return L.SingleRow()
     if k == "union":
         return L.Union([plan_from_json(c) for c in d["inputs"]],
                        [(s, parse_type_str(t), list(srcs))

@@ -1,0 +1,145 @@
+"""Statistical aggregates decomposed into sum/count moments
+(reference: operator/aggregation/ VarianceState/CovarianceState/... via
+AccumulatorCompiler) — validated against pandas/numpy."""
+
+import numpy as np
+import pytest
+
+from presto1_tpu.exec.catalog import TpchCatalog
+from presto1_tpu.exec.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return Engine(TpchCatalog(sf=0.001))
+
+
+@pytest.fixture(scope="module")
+def li(engine):
+    return engine.catalog.table("lineitem").batch(
+        ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+         "l_returnflag"]).to_pandas()
+
+
+def test_variance_stddev_global(engine, li):
+    out = engine.sql(
+        "select var_samp(l_quantity) vs, var_pop(l_quantity) vp, "
+        "stddev(l_quantity) sd, stddev_pop(l_quantity) sp, "
+        "variance(l_quantity) v from lineitem").to_pandas()
+    x = li.l_quantity.astype(float)
+    assert np.isclose(out.vs[0], x.var(ddof=1), rtol=1e-9)
+    assert np.isclose(out.vp[0], x.var(ddof=0), rtol=1e-9)
+    assert np.isclose(out.sd[0], x.std(ddof=1), rtol=1e-9)
+    assert np.isclose(out.sp[0], x.std(ddof=0), rtol=1e-9)
+    assert np.isclose(out.v[0], x.var(ddof=1), rtol=1e-9)
+
+
+def test_grouped_stddev(engine, li):
+    out = engine.sql(
+        "select l_returnflag f, stddev(l_extendedprice) sd "
+        "from lineitem group by l_returnflag order by f").to_pandas()
+    exp = li.groupby("l_returnflag").l_extendedprice.std(ddof=1)
+    for f, sd in zip(out.f, out.sd):
+        assert np.isclose(sd, exp[f], rtol=1e-8), (f, sd, exp[f])
+
+
+def test_covar_corr(engine, li):
+    out = engine.sql(
+        "select covar_samp(l_quantity, l_extendedprice) cs, "
+        "covar_pop(l_quantity, l_extendedprice) cp, "
+        "corr(l_quantity, l_extendedprice) r from lineitem").to_pandas()
+    x = li.l_quantity.astype(float)
+    y = li.l_extendedprice.astype(float)
+    assert np.isclose(out.cs[0], np.cov(x, y, ddof=1)[0, 1], rtol=1e-8)
+    assert np.isclose(out.cp[0], np.cov(x, y, ddof=0)[0, 1], rtol=1e-8)
+    assert np.isclose(out.r[0], np.corrcoef(x, y)[0, 1], rtol=1e-8)
+
+
+def test_regr(engine, li):
+    out = engine.sql(
+        "select regr_slope(l_extendedprice, l_quantity) s, "
+        "regr_intercept(l_extendedprice, l_quantity) i from lineitem"
+    ).to_pandas()
+    x = li.l_quantity.astype(float)
+    y = li.l_extendedprice.astype(float)
+    slope, intercept = np.polyfit(x, y, 1)
+    assert np.isclose(out.s[0], slope, rtol=1e-6)
+    assert np.isclose(out.i[0], intercept, rtol=1e-6)
+
+
+def test_approx_distinct_exact(engine, li):
+    out = engine.sql(
+        "select approx_distinct(l_orderkey) d from lineitem").to_pandas()
+    assert int(out.d[0]) == li.l_orderkey.nunique()
+
+
+def test_bool_and_or(engine):
+    out = engine.sql(
+        "select bool_and(l_quantity > 0) ba, bool_or(l_quantity > 49) bo, "
+        "every(l_quantity > 25) ev from lineitem").to_pandas()
+    assert bool(out.ba[0]) is True
+    assert bool(out.bo[0]) is True
+    assert bool(out.ev[0]) is False
+
+
+def test_arbitrary_and_geometric_mean(engine, li):
+    out = engine.sql(
+        "select arbitrary(l_returnflag) a, geometric_mean(l_quantity) g "
+        "from lineitem").to_pandas()
+    assert out.a[0] in set(li.l_returnflag)
+    x = li.l_quantity.astype(float)
+    assert np.isclose(out.g[0], np.exp(np.log(x).mean()), rtol=1e-9)
+
+
+def test_variance_single_row_is_null(engine):
+    out = engine.sql(
+        "select var_samp(n_nationkey) v, stddev(n_nationkey) s "
+        "from nation where n_nationkey = 3").to_pandas()
+    assert out.v[0] is None and out.s[0] is None
+
+
+def test_case_without_else_is_null(engine):
+    out = engine.sql(
+        "select sum(case when l_quantity > 1e9 then 1 end) s, "
+        "count(case when l_returnflag = 'A' then 1 end) c, count(*) n, "
+        "sum(case when l_returnflag = 'A' then 1 else 0 end) sa "
+        "from lineitem").to_pandas()
+    assert out.s[0] is None  # sum over all-NULL input
+    assert int(out.c[0]) == int(out.sa[0])  # count skips NULL branches
+    assert int(out.c[0]) < int(out.n[0])
+
+
+def test_scalar_ln_exp(engine):
+    out = engine.sql(
+        "select ln(exp(2.5)) a, log2(8) b, log10(1000) c from nation limit 1"
+    ).to_pandas()
+    assert np.isclose(out.a[0], 2.5)
+    assert np.isclose(out.b[0], 3.0)
+    assert np.isclose(out.c[0], 3.0)
+
+
+def test_mixed_distinct_aggregates(engine, li):
+    out = engine.sql(
+        "select l_returnflag f, count(distinct l_orderkey) d, count(*) c, "
+        "sum(l_quantity) s, avg(l_quantity) a, max(l_discount) m "
+        "from lineitem group by l_returnflag order by f").to_pandas()
+    exp = li.groupby("l_returnflag").agg(
+        d=("l_orderkey", "nunique"), c=("l_orderkey", "size"),
+        s=("l_quantity", "sum"), a=("l_quantity", "mean"),
+        m=("l_discount", "max"))
+    for r in out.itertuples():
+        e = exp.loc[r.f]
+        assert int(r.d) == e.d and int(r.c) == e.c
+        assert np.isclose(r.s, e.s) and np.isclose(r.a, e.a)
+        assert np.isclose(r.m, e.m)
+
+
+def test_global_mixed_distinct(engine):
+    out = engine.sql(
+        "select count(distinct l_suppkey) d, sum(l_extendedprice) s, "
+        "count(*) c from lineitem").to_pandas()
+    df = engine.catalog.table("lineitem").batch(
+        ["l_suppkey", "l_extendedprice"]).to_pandas()
+    assert int(out.d[0]) == df.l_suppkey.nunique()
+    assert np.isclose(out.s[0], df.l_extendedprice.sum())
+    assert int(out.c[0]) == len(df)
