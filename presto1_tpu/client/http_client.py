@@ -20,16 +20,23 @@ class QueryFailed(Exception):
 
 class Client:
     def __init__(self, base_url: str, user: str = "presto1",
-                 schema: str = "tiny"):
+                 schema: str = "tiny", password: Optional[str] = None):
         self.base_url = base_url.rstrip("/")
         self.user = user
         self.schema = schema
+        self.password = password
 
     def _request(self, method: str, path: str, body: Optional[bytes] = None):
+        headers = {"X-Presto1-User": self.user,
+                   "X-Presto1-Schema": self.schema}
+        if self.password is not None:
+            import base64
+
+            cred = base64.b64encode(
+                f"{self.user}:{self.password}".encode()).decode()
+            headers["Authorization"] = f"Basic {cred}"
         req = urllib.request.Request(
-            self.base_url + path, data=body, method=method,
-            headers={"X-Presto1-User": self.user,
-                     "X-Presto1-Schema": self.schema})
+            self.base_url + path, data=body, method=method, headers=headers)
         with urllib.request.urlopen(req, timeout=600) as resp:
             return json.loads(resp.read().decode())
 

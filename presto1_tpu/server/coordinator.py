@@ -135,10 +135,68 @@ def _json_value(v):
     return v
 
 
+def _referenced_tables(sql: str):
+    """Base tables named in a statement (for access-control checks)."""
+    from ..sql import ast
+    from ..sql.parser import parse
+
+    out = set()
+
+    def from_item(f):
+        if f is None:
+            return
+        if isinstance(f, ast.TableRef):
+            out.add(f.name)
+        elif isinstance(f, ast.SubqueryRef):
+            walk_q(f.query)
+        elif isinstance(f, ast.JoinItem):
+            from_item(f.left)
+            from_item(f.right)
+
+    def walk_sel(sel):
+        from_item(sel.from_)
+
+    def walk_q(q):
+        if isinstance(q, ast.Query):
+            for _, cq in q.ctes:
+                walk_q(cq)
+            walk_q(q.select)
+        elif isinstance(q, ast.SetOp):
+            walk_q(q.left)
+            walk_q(q.right)
+        elif isinstance(q, ast.Select):
+            walk_sel(q)
+
+    try:
+        walk_q(parse(sql))
+    except Exception:
+        pass
+    return out
+
+
+_UI_PAGE = """<!doctype html>
+<html><head><title>presto1-tpu</title><style>
+body{font-family:monospace;margin:2em;background:#111;color:#ddd}
+table{border-collapse:collapse}td,th{border:1px solid #444;padding:4px 10px}
+th{background:#222}.FINISHED{color:#7c7}.FAILED{color:#e77}
+.RUNNING{color:#7cf}.QUEUED{color:#cc7}</style>
+<meta http-equiv="refresh" content="2"></head>
+<body><h2>presto1-tpu coordinator</h2><table>
+<tr><th>query id</th><th>state</th><th>user</th><th>wall s</th><th>sql</th></tr>
+%ROWS%</table></body></html>"""
+
+
 class CoordinatorServer:
-    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0,
+                 authenticator=None, access_control=None):
+        """authenticator/access_control: see server/security.py; None =
+        allow-all (the reference's insecure default)."""
+        from .security import AccessDeniedError, Authenticator
+
         self.manager = QueryManager(engine)
         manager = self.manager
+        auth = authenticator or Authenticator()
+        acl = access_control
 
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
@@ -160,8 +218,16 @@ class CoordinatorServer:
                     return
                 length = int(self.headers.get("Content-Length", "0"))
                 sql = self.rfile.read(length).decode()
+                try:
+                    user = auth.authenticate(self.headers)
+                    if acl is not None:
+                        for t in _referenced_tables(sql):
+                            acl.check_can_select(user, "tpch", t)
+                except AccessDeniedError as e:
+                    self._send(401, {"error": str(e)})
+                    return
                 session = Session(
-                    user=self.headers.get("X-Presto1-User", "anonymous"),
+                    user=user,
                     schema=self.headers.get("X-Presto1-Schema", "tiny"))
                 q = manager.submit(sql, session)
                 self._send(200, {
@@ -214,6 +280,30 @@ class CoordinatorServer:
                 if parts == ["v1", "info"]:
                     self._send(200, {"nodeVersion": "presto1-tpu-0.1",
                                      "coordinator": True})
+                    return
+                if parts == ["ui"] or parts == ["ui", ""]:
+                    # minimal live query console (the 62k-LoC React UI's
+                    # essential surface: query list + states)
+                    rows = []
+                    qs = list(manager.queries.values())
+                    for q in sorted(qs, key=lambda x: x.created)[-50:][::-1]:
+                        sql_short = (q.sql[:100] + "…") if len(q.sql) > 100 \
+                            else q.sql
+                        wall = "" if q.wall_s is None else f"{q.wall_s:.2f}"
+                        rows.append(
+                            f"<tr><td>{q.id}</td>"
+                            f"<td class={q.state}>{q.state}</td>"
+                            f"<td>{q.session.user}</td>"
+                            f"<td>{wall}</td>"
+                            f"<td>{sql_short}</td></tr>")
+                    body = _UI_PAGE.replace("%ROWS%", "\n".join(rows)) \
+                        .encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                     return
                 self._send(404, {"error": "not found"})
 
