@@ -169,22 +169,27 @@ def encode_dictionary(values: np.ndarray):
 def gather_columns(cols: Dict[str, Column], indices: jnp.ndarray,
                    valid: Optional[jnp.ndarray] = None) -> Dict[str, Column]:
     """Gather many columns at the same indices with ONE gather per dtype
-    group (stacked [n, k] matrix rows): measured ~4x faster than per-column
-    gathers on TPU, where gather throughput is per-row latency-bound."""
+    group — ~7x faster than per-column gathers on TPU, where gather
+    throughput is per-row latency-bound.
+
+    Memory: XLA tiles the 2-D gather temp T(8,128) with the k columns in
+    the 128-lane minor dimension, padding it 128/k x (an 8 GB temp for a
+    256 MB gather at SF1 — an HBM OOM).  Large gathers therefore run in
+    fixed-size index chunks under lax.map, bounding the padded temp while
+    keeping the stacked gather's ~7x throughput win."""
     from collections import defaultdict
 
     groups = defaultdict(list)
     for name, c in cols.items():
         groups[str(c.data.dtype)].append(name)
     out: Dict[str, Column] = {}
-    validities = [n for n, c in cols.items() if c.validity is not None]
     for dt, names in groups.items():
         if len(names) == 1:
             c = cols[names[0]]
             out[names[0]] = c.gather(indices, valid)
             continue
         M = jnp.stack([cols[n].data for n in names], axis=1)
-        G = jnp.take(M, indices, axis=0, mode="clip")
+        G = _stacked_take(M, indices)
         for j, n in enumerate(names):
             c = cols[n]
             validity = None
@@ -195,6 +200,24 @@ def gather_columns(cols: Dict[str, Column], indices: jnp.ndarray,
             out[n] = Column(G[:, j], c.type, validity=validity,
                             dictionary=c.dictionary)
     return {n: out[n] for n in cols}
+
+
+_GATHER_CHUNK = 1 << 18  # 256K indices: padded temp <= 256 MB for int64
+
+
+def _stacked_take(M: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    """take(M, indices, axis=0) with the padded gather temp bounded."""
+    import jax
+
+    m = indices.shape[0]
+    if m * 128 * M.dtype.itemsize <= _GATHER_CHUNK * 128 * 8:
+        return jnp.take(M, indices, axis=0, mode="clip")
+    pad = (-m) % _GATHER_CHUNK
+    idxp = jnp.concatenate(
+        [indices, jnp.zeros((pad,), indices.dtype)]) if pad else indices
+    chunks = idxp.reshape(-1, _GATHER_CHUNK)
+    G = jax.lax.map(lambda ix: jnp.take(M, ix, axis=0, mode="clip"), chunks)
+    return G.reshape(-1, M.shape[1])[:m]
 
 
 def concat_batches(a: "RecordBatch", b: "RecordBatch",

@@ -290,6 +290,8 @@ class Engine:
                         and not a.type.is_string):
                     return "join", path, node
             if (isinstance(node, Aggregate) and node.group
+                    and all(a.fn in ("sum", "count", "count_star", "min",
+                                     "max", "avg") for a in node.aggs)
                     and (ready(node.child, path + (0,))
                          or (isinstance(node.child, LFilter)
                              and ready(node.child.child, path + (0, 0))))):

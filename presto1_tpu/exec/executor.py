@@ -252,7 +252,7 @@ class Executor:
                 a.fn,
                 None if a.arg is None
                 else eval_expr(self._bind(a.arg, child), child),
-                a.symbol,
+                a.symbol, param=a.param,
             )
             for a in node.aggs
         ]
@@ -658,7 +658,7 @@ class Executor:
                 AggSpec(a.fn,
                         None if a.arg is None
                         else eval_expr(self._bind(a.arg, d), d),
-                        a.symbol)
+                        a.symbol, param=a.param)
                 for a in node.aggs
             ]
             keys = [(s, d[s]) for s in primary]

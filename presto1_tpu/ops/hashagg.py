@@ -36,11 +36,15 @@ from .segments import (
 )
 
 
+PERCENTILE_FNS = ("approx_percentile", "median")
+
+
 @dataclass
 class AggSpec:
-    fn: str  # 'sum' | 'count' | 'count_star' | 'min' | 'max' | 'avg'
+    fn: str  # 'sum'|'count'|'count_star'|'min'|'max'|'avg'|percentile fns
     input: Optional[Column]  # evaluated argument (None for count_star)
     name: str
+    param: Optional[float] = None  # percentile fraction
 
     def output_type(self) -> SqlType:
         if self.fn in ("count", "count_star"):
@@ -238,12 +242,15 @@ def group_aggregate(
     # all — G masked reduction passes beat a full sort + gathers by >10x.
     # The loop domain is MIXED-RADIX (product of exact key spans), not the
     # bit-packed power-of-2 domain: Q1 runs 12 passes instead of 32.
+    pctl_specs = [s for s in aggs if s.fn in PERCENTILE_FNS]
+    aggs = [s for s in aggs if s.fn not in PERCENTILE_FNS]
     dense_domain = 1
     for lo, hi in ranges:
         dense_domain *= int(hi - lo + 2)  # +1 null slot, +1 exclusive top
         if dense_domain > DENSE_MAX_GROUPS:
             break
-    if dense_domain <= DENSE_MAX_GROUPS and dense_domain <= max_groups:
+    if (not pctl_specs and dense_domain <= DENSE_MAX_GROUPS
+            and dense_domain <= max_groups):
         return _dense_group_aggregate(keys, aggs, num_rows, ranges,
                                       max_groups, dense_domain, mask, carry)
     words = pack_key_words(key_cols, ranges, num_rows, mask=mask)
@@ -274,7 +281,50 @@ def group_aggregate(
         if col.validity is not None:
             col = col.with_data(col.data, col.validity & group_live)
         out[name] = col
+    for spec in pctl_specs:
+        out[spec.name] = _segment_percentile(spec, words, starts, ends,
+                                             group_live)
     return RecordBatch(out, num_groups)
+
+
+def _segment_percentile(spec: AggSpec, words, starts, ends, group_live):
+    """Order statistic per group: one extra (word, value) sort, then a
+    nearest-rank read at start + round(p * (n_valid - 1)).
+
+    The reference approximates with a qdigest sketch
+    (``operator/aggregation/ApproximateLongPercentileAggregations``); the
+    sorted-aggregation design makes the exact statistic one sort away, so
+    approx_percentile here is exact (documented policy win).  NULLs sort
+    to the segment tail via a sentinel and are excluded by the valid
+    count.
+    """
+    c = spec.input
+    n = words[0].shape[0]
+    xv = c.data
+    if xv.dtype.kind == "f":
+        sent = jnp.asarray(np.inf, xv.dtype)
+    else:
+        xv = xv.astype(jnp.int64)
+        sent = jnp.asarray(INT64_MAX, jnp.int64)
+    valid = c.validity
+    xs = xv if valid is None else jnp.where(valid, xv, sent)
+    vi = (jnp.ones((n,), jnp.int32) if valid is None
+          else valid.astype(jnp.int32))
+    out = jax.lax.sort(tuple(words) + (xs, vi), num_keys=len(words) + 1)
+    sx, sv = out[-2], out[-1]
+    cps = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int64), jnp.cumsum(sv.astype(jnp.int64))])
+    cnt = jnp.take(cps, ends) - jnp.take(cps, starts)
+    p = 0.5 if spec.fn == "median" else float(spec.param)
+    pos = jnp.clip(jnp.round(p * (cnt - 1)).astype(jnp.int64),
+                   0, jnp.maximum(cnt - 1, 0))
+    idx = jnp.clip(starts + pos, 0, n - 1)
+    val = jnp.take(sx, idx)
+    validity = (cnt > 0) & group_live
+    return Column(val.astype(c.data.dtype if c.data.dtype.kind == "f"
+                             else jnp.int64),
+                  spec.output_type(), validity=validity,
+                  dictionary=c.dictionary)
 
 
 def global_aggregate(
@@ -333,6 +383,24 @@ def global_aggregate(
             v = jnp.where(cnt > 0, v, jnp.zeros((), v.dtype))
             out[spec.name] = Column(v[None], t, validity=nonempty,
                                     dictionary=c.dictionary)
+        elif spec.fn in PERCENTILE_FNS:
+            xv = c.data
+            if xv.dtype.kind == "f":
+                sent_v = jnp.asarray(np.inf, xv.dtype)
+            else:
+                xv = xv.astype(jnp.int64)
+                sent_v = jnp.asarray(INT64_MAX, jnp.int64)
+            xs = jnp.where(valid, xv, sent_v)
+            sx = jnp.sort(xs)
+            p = 0.5 if spec.fn == "median" else float(spec.param)
+            pos = jnp.clip(jnp.round(p * (cnt - 1)).astype(jnp.int64),
+                           0, jnp.maximum(cnt - 1, 0))
+            v = jnp.take(sx, pos)
+            out[spec.name] = Column(
+                v[None].astype(c.data.dtype if c.data.dtype.kind == "f"
+                               else jnp.int64),
+                spec.output_type(), validity=nonempty,
+                dictionary=c.dictionary)
         else:
             raise NotImplementedError(spec.fn)
     return RecordBatch(out, 1)

@@ -33,6 +33,7 @@ class SetOp(Node):
     # trailing ORDER BY / LIMIT of the whole set operation (SQL scoping)
     order_by: List["OrderItem"] = field(default_factory=list)
     limit: Optional[int] = None
+    op: str = "union"  # union | intersect | except
 
 
 @dataclass

@@ -93,10 +93,11 @@ class Project(LogicalNode):
 @dataclass
 class AggCall:
     symbol: str
-    fn: str  # sum|avg|min|max|count|count_star
+    fn: str  # sum|avg|min|max|count|count_star|approx_percentile|median
     arg: Optional[Expr]
     distinct: bool = False
     type: SqlType = None  # filled by planner
+    param: Optional[float] = None  # percentile fraction
 
 
 @dataclass

@@ -32,7 +32,8 @@ KEYWORDS = {
     "null", "case", "when", "then", "else", "end", "cast", "date",
     "interval", "extract", "substring", "join", "inner", "left", "right",
     "full", "outer", "cross", "on", "distinct", "asc", "desc", "with",
-    "union", "all", "nulls", "first", "last", "true", "false", "for",
+    "union", "intersect", "except", "all", "nulls", "first", "last",
+    "true", "false", "for",
     "create", "table", "insert", "into", "values", "drop",
     "over", "partition", "explain", "analyze",
     "rows", "range", "groups", "unbounded", "preceding", "following",
@@ -197,18 +198,35 @@ class Parser:
                 self.expect("op", ")")
                 if not self.accept("op", ","):
                     break
-        sel = self._select()
-        while self.kw("union"):
+        sel = self._select_term()
+        while True:  # INTERSECT binds tighter (handled in _select_term)
+            if self.kw("union"):
+                setop = "union"
+            elif self.kw("except"):
+                setop = "except"
+            else:
+                break
             all_ = bool(self.kw("all"))
             self.kw("distinct")
-            right = self._select()
-            sel = ast.SetOp(sel, right, all_)
+            right = self._select_term()
+            sel = ast.SetOp(sel, right, all_, op=setop)
         if isinstance(sel, ast.SetOp):
             # a trailing ORDER BY/LIMIT binds to the whole set operation
             last = sel.right
             sel.order_by, last.order_by = last.order_by, []
             sel.limit, last.limit = last.limit, None
         return ast.Query(ctes, sel)
+
+    def _select_term(self):
+        """select (INTERSECT select)* — INTERSECT binds tighter than
+        UNION/EXCEPT (SQL precedence)."""
+        sel = self._select()
+        while self.kw("intersect"):
+            all_ = bool(self.kw("all"))
+            self.kw("distinct")
+            right = self._select()
+            sel = ast.SetOp(sel, right, all_, op="intersect")
+        return sel
 
     def _select(self) -> ast.Select:
         self.expect("kw", "select")

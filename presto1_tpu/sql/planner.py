@@ -144,7 +144,8 @@ REWRITTEN_AGGS = {
     "regr_intercept", "approx_distinct", "bool_and", "bool_or", "every",
     "arbitrary", "any_value", "geometric_mean",
 }
-AGG_FNS = AGG_FNS | REWRITTEN_AGGS
+PERCENTILE_AGGS = {"approx_percentile", "median"}
+AGG_FNS = AGG_FNS | REWRITTEN_AGGS | PERCENTILE_AGGS
 
 
 def agg_output_type(fn: str, arg_type: Optional[SqlType]) -> SqlType:
@@ -406,15 +407,66 @@ class Planner:
         for a, b in zip(lf, rf):
             t = a.type if a.type == b.type else common_supertype(a.type, b.type)
             outputs.append((self.symbol(a.name), t, [a.symbol, b.symbol]))
-        node = Union([left.node, right.node], outputs)
         fields = [FieldRef(None, a.name, s, t)
                   for a, (s, t, _) in zip(lf, outputs)]
-        if not op.all:
-            node = Aggregate(node, [s for s, _, _ in outputs], [])
+        if op.op in ("intersect", "except"):
+            # tagged-union rewrite (NULL-safe, dictionary-safe): tag each
+            # side 0/1, group by all columns, keep groups by min/max of the
+            # tag (INTERSECT: both sides present; EXCEPT: left only).
+            # Analog of the reference's SetOperationNodeTranslator
+            # (sql/planner/optimizations/TransformCorrelated.../
+            #  iterative/rule/ImplementIntersectAsUnion.java).
+            if op.all:
+                raise PlanError(f"{op.op.upper()} ALL is not supported")
+            sl, sr = self.symbol("side"), self.symbol("side")
+            lproj = Project(left.node,
+                            [(a.symbol, ir.ColumnRef(a.symbol, a.type))
+                             for a in lf] + [(sl, ir.Literal(0, INTEGER))])
+            rproj = Project(right.node,
+                            [(b.symbol, ir.ColumnRef(b.symbol, b.type))
+                             for b in rf] + [(sr, ir.Literal(1, INTEGER))])
+            side_sym = self.symbol("side")
+            u = Union([lproj, rproj],
+                      outputs + [(side_sym, INTEGER, [sl, sr])])
+            smin, smax = self.symbol("smin"), self.symbol("smax")
+            agg = Aggregate(u, [s for s, _, _ in outputs], [
+                AggCall(smin, "min", ir.ColumnRef(side_sym, INTEGER),
+                        False, INTEGER),
+                AggCall(smax, "max", ir.ColumnRef(side_sym, INTEGER),
+                        False, INTEGER)])
+            zero = ir.Literal(0, INTEGER)
+            one = ir.Literal(1, INTEGER)
+            if op.op == "intersect":
+                pred = ir.call(
+                    "and",
+                    ir.call("=", ir.ColumnRef(smin, INTEGER), zero,
+                            type=BOOLEAN),
+                    ir.call("=", ir.ColumnRef(smax, INTEGER), one,
+                            type=BOOLEAN), type=BOOLEAN)
+            else:
+                pred = ir.call("=", ir.ColumnRef(smax, INTEGER), zero,
+                               type=BOOLEAN)
+            node = Filter(agg, pred)
+        else:
+            node = Union([left.node, right.node], outputs)
+            if not op.all:
+                node = Aggregate(node, [s for s, _, _ in outputs], [])
         scope = Scope(fields, outer)
         if op.order_by:
             conv = ExprConverter(Scope(fields), self)
-            keys = [(conv.convert(o.expr), o.ascending, o.nulls_first)
+
+            def conv_key(e):
+                if isinstance(e, ast.NumberLit) and e.text.isdigit():
+                    k = int(e.text)
+                    if not 1 <= k <= len(fields):
+                        raise PlanError(
+                            f"ORDER BY position {k} is not in the "
+                            "select list")
+                    f = fields[k - 1]
+                    return ir.ColumnRef(f.symbol, f.type)
+                return conv.convert(e)
+
+            keys = [(conv_key(o.expr), o.ascending, o.nulls_first)
                     for o in op.order_by]
             node = Sort(node, keys, limit=op.limit)
         elif op.limit is not None:
@@ -473,6 +525,29 @@ class Planner:
 
     def plan_select(self, sel: ast.Select, outer, ctes,
                     corr_sink=None) -> RelationPlan:
+        # ORDER BY / GROUP BY ordinals resolve to select-list positions
+        # (SQL; reference StatementAnalyzer ordinal handling)
+        def _ordinal(e, what):
+            if isinstance(e, ast.NumberLit) and e.text.isdigit():
+                k = int(e.text)
+                if not 1 <= k <= len(sel.items):
+                    raise PlanError(
+                        f"{what} position {k} is not in the select list")
+                it = sel.items[k - 1]
+                if it.expr is None:
+                    raise PlanError(f"{what} position {k} references *")
+                return it.expr
+            return e
+
+        if any(isinstance(o.expr, ast.NumberLit) for o in sel.order_by) or \
+                any(isinstance(g, ast.NumberLit) for g in sel.group_by):
+            from dataclasses import replace as _rp
+
+            sel = _rp(sel,
+                      order_by=[_rp(o, expr=_ordinal(o.expr, "ORDER BY"))
+                                for o in sel.order_by],
+                      group_by=[_ordinal(g, "GROUP BY")
+                                for g in sel.group_by])
         rel = self.plan_from(sel.from_, outer, ctes)
         scope = rel.scope
         node = rel.node
@@ -561,6 +636,29 @@ class Planner:
                 fn = a.name if not a.is_star else "count_star"
                 if fn in REWRITTEN_AGGS:
                     agg_map[id(a)] = self._rewrite_agg(a, fn, conv, aggcalls)
+                    continue
+                if fn in PERCENTILE_AGGS:
+                    arg_ir = conv.convert(a.args[0])
+                    param = 0.5
+                    if fn == "approx_percentile":
+                        if len(a.args) < 2:
+                            raise PlanError(
+                                "approx_percentile needs a percentile")
+                        pe = conv.convert(a.args[1])
+                        if not isinstance(pe, ir.Literal):
+                            raise PlanError(
+                                "percentile must be a numeric constant")
+                        if pe.type.kind == "decimal":
+                            param = pe.value / (10 ** pe.type.scale)  # type: ignore[attr-defined]
+                        else:
+                            param = float(pe.value)
+                    if not 0.0 <= param <= 1.0:
+                        raise PlanError("percentile must be in [0, 1]")
+                    t = arg_ir.type
+                    sym = self.symbol(fn)
+                    aggcalls.append(AggCall(sym, fn, arg_ir, False, t,
+                                            param=param))
+                    agg_map[id(a)] = ir.ColumnRef(sym, t)
                     continue
                 if a.is_star:
                     arg_ir = None

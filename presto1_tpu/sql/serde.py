@@ -104,7 +104,8 @@ def plan_to_json(n: L.LogicalNode) -> Dict[str, Any]:
             "primary": n.primary,
             "aggs": [{"symbol": a.symbol, "fn": a.fn,
                       "arg": None if a.arg is None else expr_to_json(a.arg),
-                      "distinct": a.distinct, "t": _t(a.type)}
+                      "distinct": a.distinct, "t": _t(a.type),
+                      "param": a.param}
                      for a in n.aggs],
         }
     if isinstance(n, L.Join):
@@ -162,7 +163,8 @@ def plan_from_json(d: Dict[str, Any]) -> L.LogicalNode:
     if k == "agg":
         aggs = [L.AggCall(a["symbol"], a["fn"],
                           None if a["arg"] is None else expr_from_json(a["arg"]),
-                          a["distinct"], parse_type_str(a["t"]))
+                          a["distinct"], parse_type_str(a["t"]),
+                          param=a.get("param"))
                 for a in d["aggs"]]
         return L.Aggregate(plan_from_json(d["child"]), list(d["group"]),
                            aggs, d["primary"])

@@ -143,3 +143,55 @@ def test_global_mixed_distinct(engine):
     assert int(out.d[0]) == df.l_suppkey.nunique()
     assert np.isclose(out.s[0], df.l_extendedprice.sum())
     assert int(out.c[0]) == len(df)
+
+
+def test_percentiles_global_and_grouped(engine, li):
+    out = engine.sql(
+        "select approx_percentile(l_extendedprice, 0.5) p50, "
+        "approx_percentile(l_extendedprice, 0.9) p90, "
+        "median(l_quantity) m from lineitem").to_pandas()
+    x = np.sort(li.l_extendedprice.values)
+    q = np.sort(li.l_quantity.values)
+    assert np.isclose(out.p50[0], x[round(0.5 * (len(x) - 1))])
+    assert np.isclose(out.p90[0], x[round(0.9 * (len(x) - 1))])
+    assert np.isclose(out.m[0], q[round(0.5 * (len(q) - 1))])
+    g = engine.sql(
+        "select l_returnflag f, approx_percentile(l_quantity, 0.25) q1 "
+        "from lineitem group by l_returnflag order by f").to_pandas()
+    for f, got in zip(g.f, g.q1):
+        xs = np.sort(li[li.l_returnflag == f].l_quantity.values)
+        assert np.isclose(got, xs[round(0.25 * (len(xs) - 1))])
+
+
+def test_intersect_except(engine):
+    got = engine.sql(
+        "select c_nationkey from customer intersect "
+        "select s_nationkey from supplier order by c_nationkey").to_pandas()
+    cust = set(engine.catalog.table("customer").batch(
+        ["c_nationkey"]).to_pandas().c_nationkey)
+    supp = set(engine.catalog.table("supplier").batch(
+        ["s_nationkey"]).to_pandas().s_nationkey)
+    assert list(got.iloc[:, 0]) == sorted(cust & supp)
+    got = engine.sql(
+        "select n_nationkey from nation except "
+        "select s_nationkey from supplier order by n_nationkey").to_pandas()
+    assert list(got.iloc[:, 0]) == sorted(set(range(25)) - supp)
+    # precedence: INTERSECT binds tighter than UNION
+    got = engine.sql(
+        "select 1 union select 2 intersect select 2").to_pandas()
+    assert sorted(got.iloc[:, 0]) == [1, 2]
+
+
+def test_order_group_by_ordinals(engine):
+    out = engine.sql(
+        "select n_name, n_regionkey from nation order by 2 desc, 1 limit 3"
+    ).to_pandas()
+    assert (out.n_regionkey == 4).all()
+    assert list(out.n_name) == sorted(out.n_name)
+    out = engine.sql(
+        "select n_regionkey, count(*) c from nation group by 1 order by 1"
+    ).to_pandas()
+    assert list(out.n_regionkey) == [0, 1, 2, 3, 4]
+    assert (out.c == 5).all()
+    out = engine.sql("select 2 union select 1 order by 1").to_pandas()
+    assert list(out.iloc[:, 0]) == [1, 2]
