@@ -38,7 +38,8 @@ def main():
     from presto1_tpu.tpch.queries import QUERIES
 
     sf = float(os.environ.get("BENCH_SF", "1.0"))
-    qids = [int(q) for q in os.environ.get("BENCH_QUERIES", "1,6").split(",")]
+    qids = [int(q) for q in
+            os.environ.get("BENCH_QUERIES", "1,3,6").split(",")]
     reps = int(os.environ.get("BENCH_REPS", "5"))
 
     catalog = TpchCatalog(sf=sf)

@@ -69,6 +69,8 @@ class Column:
 
     def gather(self, indices: jnp.ndarray, valid: Optional[jnp.ndarray] = None) -> "Column":
         """Column at ``indices``; rows where ``valid`` is False become NULL."""
+        if indices.dtype != jnp.int32:  # int64 indices gather ~2x slower
+            indices = indices.astype(jnp.int32)
         data = jnp.take(self.data, indices, mode="clip")
         validity = self.validity
         if validity is not None:
@@ -168,54 +170,97 @@ def encode_dictionary(values: np.ndarray):
 
 def gather_columns(cols: Dict[str, Column], indices: jnp.ndarray,
                    valid: Optional[jnp.ndarray] = None) -> Dict[str, Column]:
-    """Gather many columns at the same indices with ONE gather per dtype
-    group — ~7x faster than per-column gathers on TPU, where gather
-    throughput is per-row latency-bound.
+    """Gather many columns at the same indices with ONE gather per byte
+    width — TPU gathers are per-row latency-bound, so amortising k columns
+    per lookup is ~k x faster than per-column takes.
 
-    Memory: XLA tiles the 2-D gather temp T(8,128) with the k columns in
-    the 128-lane minor dimension, padding it 128/k x (an 8 GB temp for a
-    256 MB gather at SF1 — an HBM OOM).  Large gathers therefore run in
-    fixed-size index chunks under lax.map, bounding the padded temp while
-    keeping the stacked gather's ~7x throughput win."""
-    from collections import defaultdict
+    Three levers, all measured on v5e (see join profile in the commit log):
+    * int32 indices (int64-indexed gathers are ~2x slower);
+    * width-class packing: same-width columns BITCAST to one unsigned
+      dtype and stack (int64/f64/decimal together; int32/date/dict codes
+      together; validity bools pack 4-per-u32 and ride the 32-bit class);
+    * the 2-D gather temp is tiled T(8,128) with k in the 128-lane minor
+      dimension (128/k x padding — an 8 GB temp OOMed SF1 Q3), so large
+      gathers run in fixed-size index chunks under lax.map."""
+    import jax
 
-    groups = defaultdict(list)
-    for name, c in cols.items():
-        groups[str(c.data.dtype)].append(name)
+    if indices.dtype != jnp.int32:
+        indices = indices.astype(jnp.int32)
     out: Dict[str, Column] = {}
-    for dt, names in groups.items():
-        if len(names) == 1:
-            c = cols[names[0]]
-            out[names[0]] = c.gather(indices, valid)
-            continue
-        M = jnp.stack([cols[n].data for n in names], axis=1)
+    entries: list = []  # (key, u32 array) — the single 32-bit class
+    for name, c in cols.items():
+        d = c.data
+        if d.dtype.itemsize == 8:
+            b = jax.lax.bitcast_convert_type(d, jnp.uint32)  # [n, 2]
+            entries.append((name + "\0lo", b[:, 0]))
+            entries.append((name + "\0hi", b[:, 1]))
+        elif d.dtype.itemsize == 4:
+            entries.append((name, jax.lax.bitcast_convert_type(d,
+                                                               jnp.uint32)))
+        else:  # bool / int8 / int16 — widen (cheap elementwise)
+            entries.append((name, d.astype(jnp.uint32)))
+    # pack validity bytes 4-per-u32
+    vslots: Dict[str, tuple] = {}  # validity column -> (slot, byte)
+    vnames = [n for n, c in cols.items() if c.validity is not None]
+    for gi in range(0, len(vnames), 4):
+        grp = vnames[gi:gi + 4]
+        word = jnp.zeros(cols[grp[0]].validity.shape, jnp.uint32)
+        for b, n in enumerate(grp):
+            word = word | (cols[n].validity.astype(jnp.uint32)
+                           << jnp.uint32(8 * b))
+            vslots[n] = (f"__v{gi // 4}", b)
+        entries.append((f"__v{gi // 4}", word))
+
+    gathered: Dict[str, jnp.ndarray] = {}
+    if len(entries) == 1:
+        gathered[entries[0][0]] = jnp.take(entries[0][1], indices,
+                                           mode="clip")
+    elif entries:
+        M = jnp.stack([d for _, d in entries], axis=1)
         G = _stacked_take(M, indices)
-        for j, n in enumerate(names):
-            c = cols[n]
-            validity = None
-            if c.validity is not None:
-                validity = jnp.take(c.validity, indices, mode="clip")
-            if valid is not None:
-                validity = valid if validity is None else (validity & valid)
-            out[n] = Column(G[:, j], c.type, validity=validity,
-                            dictionary=c.dictionary)
-    return {n: out[n] for n in cols}
+        for j, (n, _) in enumerate(entries):
+            gathered[n] = G[:, j]
+
+    for name, c in cols.items():
+        if c.data.dtype.itemsize == 8:
+            pair = jnp.stack([gathered[name + "\0lo"],
+                              gathered[name + "\0hi"]], axis=-1)
+            data = jax.lax.bitcast_convert_type(pair, c.data.dtype)
+        elif c.data.dtype.itemsize == 4:
+            data = jax.lax.bitcast_convert_type(gathered[name], c.data.dtype)
+        else:
+            data = gathered[name].astype(c.data.dtype)
+        validity = None
+        if c.validity is not None:
+            slot, b = vslots[name]
+            validity = ((gathered[slot] >> jnp.uint32(8 * b))
+                        & jnp.uint32(1)) != 0
+        if valid is not None:
+            validity = valid if validity is None else (validity & valid)
+        out[name] = Column(data, c.type, validity=validity,
+                           dictionary=c.dictionary)
+    return out
 
 
-_GATHER_CHUNK = 1 << 18  # 256K indices: padded temp <= 256 MB for int64
+_GATHER_TEMP_BUDGET = 256 << 20  # padded gather temp cap (bytes)
 
 
 def _stacked_take(M: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
-    """take(M, indices, axis=0) with the padded gather temp bounded."""
+    """take(M, indices, axis=0) with the padded gather temp bounded.
+
+    XLA tiles the [m, k] result T(8,128) padding k up to 128 lanes, so the
+    temp costs m*128*itemsize bytes regardless of k; above the budget the
+    gather runs in index chunks under lax.map."""
     import jax
 
     m = indices.shape[0]
-    if m * 128 * M.dtype.itemsize <= _GATHER_CHUNK * 128 * 8:
+    chunk = _GATHER_TEMP_BUDGET // (128 * M.dtype.itemsize)
+    if m <= chunk:
         return jnp.take(M, indices, axis=0, mode="clip")
-    pad = (-m) % _GATHER_CHUNK
+    pad = (-m) % chunk
     idxp = jnp.concatenate(
         [indices, jnp.zeros((pad,), indices.dtype)]) if pad else indices
-    chunks = idxp.reshape(-1, _GATHER_CHUNK)
+    chunks = idxp.reshape(-1, chunk)
     G = jax.lax.map(lambda ix: jnp.take(M, ix, axis=0, mode="clip"), chunks)
     return G.reshape(-1, M.shape[1])[:m]
 

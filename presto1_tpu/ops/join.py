@@ -64,7 +64,8 @@ def _probe_ranges(probe, build, probe_keys, build_keys, ranges):
         needs_verify = True
     sorted_bk, bperm = jax.lax.sort((bk, iota(nb).astype(jnp.int32)),
                                     num_keys=1)
-    lo = searchsorted_fast(sorted_bk, pk, side="left")
+    # int32 positions throughout: int64-indexed gathers are ~2x slower
+    lo = searchsorted_fast(sorted_bk, pk, side="left").astype(jnp.int32)
     live = iota(np_) < probe.num_rows
 
     # build run lengths: next_start[i] - i at each run start
@@ -80,7 +81,18 @@ def _probe_ranges(probe, build, probe_keys, build_keys, ranges):
     next_start = jnp.flip(jax.lax.cummin(jnp.flip(mark)))
 
     lo_c = jnp.clip(lo, 0, max(nb - 1, 0))
-    match = jnp.take(sorted_bk, lo_c, mode="clip") == pk
+    # one stacked take for (key-at-lo, run-end-at-lo): two separate 4M-row
+    # takes cost ~120 ms each on v5e
+    from ..batch import _stacked_take
+
+    if sorted_bk.dtype == jnp.int32:
+        BT = jnp.stack([sorted_bk, next_start], axis=1)
+        G = _stacked_take(BT, lo_c)
+        key_at, end_at = G[:, 0], G[:, 1]
+    else:
+        key_at = jnp.take(sorted_bk, lo_c, mode="clip")
+        end_at = jnp.take(next_start, lo_c, mode="clip")
+    match = key_at == pk
     # build-side sentinels sort to the end (null_high): a probe sentinel
     # (dead row / null key) equals them but is masked by `live`
     sentinel = jnp.asarray(
@@ -88,34 +100,45 @@ def _probe_ranges(probe, build, probe_keys, build_keys, ranges):
         else np.iinfo(np.int32).max, sorted_bk.dtype)
     real = pk != sentinel
     counts = jnp.where(live & match & real & (lo < nb),
-                       (jnp.take(next_start, lo_c, mode="clip")
-                        - lo_c.astype(jnp.int32)).astype(jnp.int64), 0)
+                       (end_at - lo_c.astype(jnp.int32)).astype(jnp.int64),
+                       0)
     return lo, counts, bperm, live, needs_verify
 
 
 def _expand(probe, build, lo, counts_real, counts_emit, bperm, capacity):
-    """Prefix-sum expansion of match ranges into a flat pair batch."""
+    """Prefix-sum expansion of match ranges into a flat pair batch.
+
+    The per-pair bookkeeping lookups (offsets/counts/lo at pidx) ride ONE
+    stacked int32 gather — four separate 8M-row takes cost ~150 ms each
+    on v5e; amortised they cost one."""
     np_ = probe.capacity()
     nb = build.capacity()
     offsets = jnp.cumsum(counts_emit)
     total = offsets[-1] if np_ > 0 else jnp.asarray(0, jnp.int64)
     out_i = iota(capacity)
+    off32 = jnp.minimum(offsets, capacity).astype(jnp.int32)
     if capacity < (1 << 31):
         # int32 co-sort: offsets clipped at capacity keep every "<= j"
         # relation for j < capacity (overflow trips the capacity guard)
-        pidx = searchsorted_fast(
-            jnp.minimum(offsets, capacity).astype(jnp.int32),
-            out_i.astype(jnp.int32), side="right")
+        pidx = searchsorted_fast(off32, out_i.astype(jnp.int32),
+                                 side="right")
     else:
         pidx = searchsorted_fast(offsets, out_i, side="right")
-    pidx = jnp.clip(pidx, 0, np_ - 1)
-    start = offsets[pidx] - counts_emit[pidx]
-    k = out_i - start
-    matched = k < counts_real[pidx]
-    bpos = jnp.take(bperm, jnp.clip(lo[pidx] + k, 0, max(nb - 1, 0)), mode="clip")
-    out_live = out_i < total
+    pidx = jnp.clip(pidx, 0, np_ - 1).astype(jnp.int32)
 
-    from ..batch import gather_columns
+    from ..batch import _stacked_take, gather_columns
+
+    B = jnp.stack([off32, counts_emit.astype(jnp.int32),
+                   counts_real.astype(jnp.int32), lo.astype(jnp.int32)],
+                  axis=1)
+    G = _stacked_take(B, pidx)
+    out_i32 = out_i.astype(jnp.int32)
+    start = G[:, 0] - G[:, 1]
+    k = out_i32 - start
+    matched = k < G[:, 2]
+    bpos = jnp.take(bperm, jnp.clip(G[:, 3] + k, 0, max(nb - 1, 0)),
+                    mode="clip")
+    out_live = out_i < total
 
     cols = gather_columns(probe.columns, pidx)
     cols.update(gather_columns(build.columns, bpos, valid=matched))

@@ -265,6 +265,12 @@ def _unique_keysets(node: LogicalNode) -> Set[frozenset]:
     if isinstance(node, Join):
         if node.kind in ("semi", "anti"):
             return _unique_keysets(node.left)
+        if node.kind in ("inner", "left") and node.build_unique:
+            # N:1 join: output rows are a subset of (left) probe rows, so
+            # the probe side's unique keysets survive — this is what lets
+            # lineitem ⋈ (orders ⋈ customer) keep o_orderkey unique and
+            # take the expansion-free N:1 fast path (Q3/Q4/Q10 shape)
+            return _unique_keysets(node.left)
         return set()
     return set()
 
