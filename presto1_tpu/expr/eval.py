@@ -213,11 +213,109 @@ def _eval_call(expr: Call, batch: RecordBatch):
     if fn == "cast":
         return _eval_cast(expr, batch)
 
-    if fn in ("extract_year", "extract_month"):
+    if fn.startswith("extract_"):
         days, va, _ = _eval(expr.args[0], batch)
-        y, m = _civil_from_days(days)
-        out = y if fn == "extract_year" else m
+        days = days.astype(jnp.int64)
+        y, m, dom = _civil_full(days)
+        field = fn[len("extract_"):]
+        if field == "year":
+            out = y
+        elif field == "month":
+            out = m
+        elif field == "day":
+            out = dom
+        elif field == "quarter":
+            out = (m - 1) // 3 + 1
+        elif field in ("dow", "day_of_week"):  # ISO: 1=Monday..7=Sunday
+            out = (days + 3) % 7 + 1
+        elif field in ("doy", "day_of_year"):
+            out = days - _days_from_civil(y, jnp.ones_like(m),
+                                          jnp.ones_like(dom)) + 1
+        elif field in ("week", "week_of_year"):  # ISO week number
+            doy = days - _days_from_civil(y, jnp.ones_like(m),
+                                          jnp.ones_like(dom)) + 1
+            dow = (days + 3) % 7 + 1
+
+            def weeks_in(yy):
+                p = (yy + yy // 4 - yy // 100 + yy // 400) % 7
+                py = yy - 1
+                pp = (py + py // 4 - py // 100 + py // 400) % 7
+                return 52 + ((p == 4) | (pp == 3)).astype(jnp.int64)
+
+            wk = (doy - dow + 10) // 7
+            out = jnp.where(wk < 1, weeks_in(y - 1),
+                            jnp.where(wk > weeks_in(y), 1, wk))
+        else:
+            raise NotImplementedError(f"extract({field})")
         return _norm(out.astype(jnp.int64), va), va, None
+
+    if fn == "date_trunc":
+        unit = expr.args[0].value  # constant varchar
+        days, va, _ = _eval(expr.args[1], batch)
+        days = days.astype(jnp.int64)
+        y, m, dom = _civil_full(days)
+        one = jnp.ones_like(m)
+        if unit == "day":
+            out = days
+        elif unit == "week":  # Monday
+            out = days - ((days + 3) % 7)
+        elif unit == "month":
+            out = _days_from_civil(y, m, one)
+        elif unit == "quarter":
+            out = _days_from_civil(y, ((m - 1) // 3) * 3 + 1, one)
+        elif unit == "year":
+            out = _days_from_civil(y, one, one)
+        else:
+            raise NotImplementedError(f"date_trunc({unit})")
+        return _norm(out.astype(jnp.int32), va), va, None
+
+    if fn == "date_add":
+        unit = expr.args[0].value
+        n, vn, _ = _eval(expr.args[1], batch)
+        days, va, _ = _eval(expr.args[2], batch)
+        days = days.astype(jnp.int64)
+        n = n.astype(jnp.int64) if hasattr(n, "astype") else jnp.asarray(
+            n, jnp.int64)
+        if unit == "day":
+            out = days + n
+        elif unit == "week":
+            out = days + 7 * n
+        elif unit in ("month", "year"):
+            y, m, dom = _civil_full(days)
+            months = (y * 12 + (m - 1)
+                      + (n if unit == "month" else 12 * n))
+            y2 = jnp.floor_divide(months, 12)
+            m2 = months - y2 * 12 + 1
+            # clamp day to the target month's length
+            last = _days_from_civil(
+                jnp.where(m2 == 12, y2 + 1, y2),
+                jnp.where(m2 == 12, 1, m2 + 1),
+                jnp.ones_like(m2)) - 1
+            out = jnp.minimum(_days_from_civil(y2, m2, dom), last)
+        else:
+            raise NotImplementedError(f"date_add({unit})")
+        v = _and_validity(vn, va)
+        return _norm(out.astype(jnp.int32), v), v, None
+
+    if fn == "date_diff":
+        unit = expr.args[0].value
+        a, va, _ = _eval(expr.args[1], batch)
+        b, vb, _ = _eval(expr.args[2], batch)
+        a = a.astype(jnp.int64)
+        b = b.astype(jnp.int64)
+        if unit == "day":
+            out = b - a
+        elif unit == "week":
+            out = (b - a) // 7
+        elif unit in ("month", "year"):
+            y1, m1, d1 = _civil_full(a)
+            y2, m2, d2 = _civil_full(b)
+            months = (y2 * 12 + m2) - (y1 * 12 + m1) - (d2 < d1)
+            out = months if unit == "month" else months // 12
+        else:
+            raise NotImplementedError(f"date_diff({unit})")
+        v = _and_validity(va, vb)
+        return _norm(out.astype(jnp.int64), v), v, None
 
     if fn in ("=", "<>", "<", "<=", ">", ">="):
         return _eval_compare(expr, batch)
@@ -437,6 +535,12 @@ def _eval_cast(expr: Call, batch: RecordBatch):
 
 def _civil_from_days(days):
     """days-since-epoch → (year, month); Howard Hinnant's civil_from_days."""
+    y, m, _ = _civil_full(days)
+    return y, m
+
+
+def _civil_full(days):
+    """days-since-epoch → (year, month, day-of-month)."""
     z = days.astype(jnp.int64) + 719468
     era = jnp.floor_divide(z, 146097)
     doe = z - era * 146097
@@ -444,9 +548,21 @@ def _civil_from_days(days):
     y = yoe + era * 400
     doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
     mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
     m = jnp.where(mp < 10, mp + 3, mp - 9)
     y = y + (m <= 2)
-    return y, m
+    return y, m, d
+
+
+def _days_from_civil(y, m, d):
+    """(year, month, day) → days-since-epoch (Hinnant's days_from_civil)."""
+    y = y - (m <= 2)
+    era = jnp.floor_divide(y, 400)
+    yoe = y - era * 400
+    mp = jnp.where(m > 2, m - 3, m + 9)
+    doy = (153 * mp + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
 
 
 # ------------------------------------------------- string-op binding (host)

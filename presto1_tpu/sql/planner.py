@@ -996,7 +996,14 @@ class ExprConverter:
         return m(e)
 
     def _c_Identifier(self, e: ast.Identifier) -> ir.Expr:
-        f, depth = self.scope.resolve(e.qualifier, e.name)
+        try:
+            f, depth = self.scope.resolve(e.qualifier, e.name)
+        except PlanError:
+            if e.qualifier is None and e.name == "current_date":
+                import time as _time
+
+                return ir.Literal(int(_time.time() // 86400), DATE)
+            raise
         if depth > 0:
             self.used_outer.add(f.symbol)
         return ir.ColumnRef(f.symbol, f.type)
@@ -1060,6 +1067,23 @@ class ExprConverter:
             if name in ("ln", "exp", "log2", "log10"):
                 return ir.call(name, args[0], type=DOUBLE)
             return ir.call(name, *args)
+        if name in ("year", "month", "day", "quarter", "week",
+                    "day_of_week", "dow", "day_of_year", "doy"):
+            return ir.call(f"extract_{name}", self.convert(e.args[0]),
+                           type=BIGINT)
+        if name in ("date_trunc", "date_add", "date_diff"):
+            unit = e.args[0]
+            if not isinstance(unit, ast.StringLit):
+                raise PlanError(f"{name}: unit must be a string literal")
+            args = [ir.Literal(unit.value, VARCHAR)] + [
+                self.convert(a) for a in e.args[1:]]
+            t = BIGINT if name == "date_diff" else DATE
+            return ir.call(name, *args, type=t)
+        if name == "current_date":
+            import time as _time
+
+            days = int(_time.time() // 86400)
+            return ir.Literal(days, DATE)
         raise PlanError(
             f"aggregate {e.name} in invalid context (or unknown function)")
 
@@ -1101,10 +1125,15 @@ class ExprConverter:
         out = ir.call("is_null", self.convert(e.expr))
         return ir.call("not", out) if e.negated else out
 
+    EXTRACT_FIELDS = ("year", "month", "day", "quarter", "dow",
+                      "day_of_week", "doy", "day_of_year", "week",
+                      "week_of_year")
+
     def _c_Extract(self, e: ast.Extract) -> ir.Expr:
-        if e.field not in ("year", "month"):
+        if e.field not in self.EXTRACT_FIELDS:
             raise PlanError(f"extract({e.field}) unsupported")
-        return ir.call(f"extract_{e.field}", self.convert(e.expr))
+        return ir.call(f"extract_{e.field}", self.convert(e.expr),
+                       type=BIGINT)
 
     def _c_Substring(self, e: ast.Substring) -> ir.Expr:
         args = [self.convert(e.expr), self.convert(e.start)]
