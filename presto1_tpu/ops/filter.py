@@ -38,10 +38,24 @@ def compact(batch: RecordBatch, mask: jnp.ndarray,
     """Stable-compact rows where mask is True into a padded batch.
 
     TPU: one stable payload sort moves every column (gathers are
-    latency-bound and ~24x slower); CPU keeps nonzero+take."""
+    latency-bound and ~24x slower); CPU keeps nonzero+take.  A capacity
+    larger than the input pads the batch first (slicing a shorter array
+    would silently clamp and desynchronise column/validity lengths —
+    the SF1 Q2 compiled-mode bug)."""
     from .segments import _scatter_ok, compact_indices
 
     cap = capacity if capacity is not None else batch.capacity()
+    if cap > batch.capacity():
+        pad = cap - batch.capacity()
+        cols = {}
+        for nm, c in batch.columns.items():
+            data = jnp.concatenate(
+                [c.data, jnp.zeros((pad,) + c.data.shape[1:], c.data.dtype)])
+            validity = None if c.validity is None else jnp.concatenate(
+                [c.validity, jnp.zeros((pad,), bool)])
+            cols[nm] = c.with_data(data, validity)
+        batch = RecordBatch(cols, batch.num_rows)
+        mask = jnp.concatenate([mask, jnp.zeros((pad,), bool)])
     if _scatter_ok():
         idx, count = compact_indices(mask, cap)
         return batch.gather(idx, count)

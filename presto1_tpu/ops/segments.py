@@ -146,4 +146,7 @@ def compact_indices(mask: jnp.ndarray, capacity: int):
     key = (~mask).astype(jnp.int8)
     iota = jnp.arange(n, dtype=jnp.int64)
     _, idx = jax.lax.sort((key, iota), num_keys=1)
+    if capacity > n:  # pad, never clamp: callers size output by capacity
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((capacity - n,), jnp.int64)])
     return idx[:capacity], count
