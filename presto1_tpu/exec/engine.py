@@ -172,7 +172,56 @@ class Engine:
                 out = self._values_batch(stmt.values, table)
             n = table.append(out)
             return self._dml_result(n)
+        if isinstance(stmt, ast.Show):
+            return self._show(stmt)
         raise ValueError(f"unsupported statement {type(stmt).__name__}")
+
+    def _show(self, stmt):
+        """SHOW TABLES/COLUMNS/SCHEMAS/CATALOGS/SESSION/FUNCTIONS +
+        DESCRIBE (reference: metadata-backed SHOW rewrites in
+        StatementRewrite / information_schema)."""
+        from ..batch import from_numpy
+        from ..types import VARCHAR
+        import numpy as np
+
+        def strings(**cols):
+            arrays = {k: np.asarray(v, dtype="U64") for k, v in cols.items()}
+            return from_numpy(arrays, {k: VARCHAR for k in cols})
+
+        if stmt.what == "tables":
+            return strings(table=sorted(self.catalog.tables))
+        if stmt.what == "columns":
+            t = self.catalog.table(stmt.target)
+            return strings(column=list(t.schema.keys()),
+                           type=[str(tt) for tt in t.schema.values()])
+        if stmt.what == "schemas":
+            return strings(schema=[self.session.schema])
+        if stmt.what == "catalogs":
+            return strings(catalog=[self.session.catalog])
+        if stmt.what == "session":
+            from .session import SYSTEM_SESSION_PROPERTIES as P
+
+            names = sorted(P)
+            return strings(name=names,
+                           value=[str(self.session.get(n)) for n in names],
+                           description=[P[n][2] for n in names])
+        if stmt.what == "functions":
+            from ..sql.planner import AGG_FNS
+            from ..sql.planner import ExprConverter
+
+            scalars = sorted(ExprConverter.SCALAR_FNS) + [
+                "year", "month", "day", "quarter", "week", "day_of_week",
+                "date_trunc", "date_add", "date_diff", "current_date",
+                "extract", "substring", "like", "cast", "between",
+            ]
+            wins = ["row_number", "rank", "dense_rank", "ntile", "lag",
+                    "lead", "first_value", "last_value", "nth_value"]
+            names = ([(f, "scalar") for f in scalars]
+                     + [(f, "aggregate") for f in sorted(AGG_FNS)]
+                     + [(f, "window") for f in wins])
+            return strings(function=[n for n, _ in names],
+                           kind=[k for _, k in names])
+        raise ValueError(f"SHOW {stmt.what} unsupported")
 
     def _dml_result(self, rows: int):
         import jax.numpy as jnp

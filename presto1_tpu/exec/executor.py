@@ -684,7 +684,10 @@ class Executor:
             SortKey(eval_expr(self._bind(e, child), child), asc, nf)
             for e, asc, nf in node.keys
         ]
-        out = sort_batch(child, keys, limit=node.limit)
+        lim = None if node.limit is None else node.limit + node.offset
+        out = sort_batch(child, keys, limit=lim)
+        if node.offset:
+            out = _skip_rows(out, node.offset)
         return self._shrink(out)
 
     def _x_WindowNode(self, node: WindowNode, path: Path) -> RecordBatch:
@@ -777,7 +780,27 @@ class Executor:
 
     def _x_Limit(self, node: Limit, path: Path) -> RecordBatch:
         child = self.execute(node.child, path + (0,))
+        if node.offset:
+            child = _skip_rows(child, node.offset)
+        if node.n is None:
+            return self._shrink(child)
         return self._shrink(limit_batch(child, node.n))
+
+
+def _skip_rows(batch: RecordBatch, offset: int) -> RecordBatch:
+    """Drop the first ``offset`` live rows (live rows are a prefix)."""
+    cap = batch.capacity()
+    off = min(offset, max(cap - 1, 0))  # keep >= 1 slot (num_rows masks)
+    cols = {
+        name: c.with_data(c.data[off:],
+                          c.validity[off:] if c.validity is not None
+                          else None)
+        for name, c in batch.columns.items()
+    }
+    n = batch.num_rows
+    n = max(n - offset, 0) if isinstance(n, int) \
+        else jnp.maximum(n - offset, 0)
+    return RecordBatch(cols, n)
 
 
 def _fragment_roots(node: LogicalNode, path: Path = ()) -> List[Path]:

@@ -85,7 +85,7 @@ class QueryManager:
             q.state = QueryState.RUNNING
         t0 = time.time()
         try:
-            out = self.engine.sql(q.sql)
+            out = self.engine.execute_statement(q.sql)
             n = out.num_rows if isinstance(out.num_rows, int) else int(out.num_rows)
             decoded = {name: c.decode(n) for name, c in out.columns.items()}
             q.columns = [

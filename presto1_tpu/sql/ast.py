@@ -49,6 +49,7 @@ class Select(Node):
     # GROUPING SETS / ROLLUP / CUBE: list of sets, each a list of indices
     # into group_by; None = plain GROUP BY
     grouping_sets: Optional[List[List[int]]] = None
+    offset: int = 0
 
 
 @dataclass
@@ -257,6 +258,12 @@ class InsertInto(Node):
 @dataclass
 class DropTable(Node):
     name: str
+
+
+@dataclass
+class Show(Node):
+    what: str  # tables | columns | schemas | catalogs | session | functions
+    target: Optional[str] = None  # table name for SHOW COLUMNS / DESCRIBE
 
 
 @dataclass

@@ -214,6 +214,7 @@ class Sort(LogicalNode):
     child: LogicalNode
     keys: List[Tuple[Expr, bool, Optional[bool]]]  # (expr, asc, nulls_first)
     limit: Optional[int] = None
+    offset: int = 0
 
     @property
     def schema(self):
@@ -224,13 +225,14 @@ class Sort(LogicalNode):
         return [self.child]
 
     def with_children(self, children):
-        return Sort(children[0], self.keys, self.limit)
+        return Sort(children[0], self.keys, self.limit, self.offset)
 
 
 @dataclass
 class Limit(LogicalNode):
     child: LogicalNode
-    n: int
+    n: Optional[int]
+    offset: int = 0
 
     @property
     def schema(self):
@@ -241,7 +243,7 @@ class Limit(LogicalNode):
         return [self.child]
 
     def with_children(self, children):
-        return Limit(children[0], self.n)
+        return Limit(children[0], self.n, self.offset)
 
 
 @dataclass

@@ -577,7 +577,8 @@ def _prune(node: LogicalNode, needed: Set[str]) -> LogicalNode:
         child_needed = set(needed)
         for e, _, _ in node.keys:
             child_needed |= _refs(e)
-        return Sort(_prune(node.child, child_needed), node.keys, node.limit)
+        return Sort(_prune(node.child, child_needed), node.keys,
+                    node.limit, node.offset)
     if isinstance(node, Union):
         keep = [o for o in node.outputs if o[0] in needed] or node.outputs[:1]
         new_inputs = []
@@ -598,5 +599,5 @@ def _prune(node: LogicalNode, needed: Set[str]) -> LogicalNode:
         return WindowNode(_prune(node.child, child_needed),
                           node.partition_by, node.order_by, node.calls)
     if isinstance(node, Limit):
-        return Limit(_prune(node.child, needed), node.n)
+        return Limit(_prune(node.child, needed), node.n, node.offset)
     return node.with_children([_prune(c, needed) for c in node.children])

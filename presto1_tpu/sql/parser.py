@@ -37,7 +37,7 @@ KEYWORDS = {
     "create", "table", "insert", "into", "values", "drop",
     "over", "partition", "explain", "analyze",
     "rows", "range", "groups", "unbounded", "preceding", "following",
-    "current", "row",
+    "current", "row", "offset",
 }
 
 
@@ -122,6 +122,20 @@ class Parser:
 
     def parse_statement(self):
         t = self.peek()
+        if t.kind == "ident" and t.value in ("show", "describe", "desc"):
+            self.next()
+            if t.value in ("describe", "desc"):
+                name = self.expect("ident").value
+                return self._finish(ast.Show("columns", name))
+            w = self.expect("ident").value
+            if w == "columns":
+                self.expect("kw", "from")
+                return self._finish(ast.Show("columns",
+                                             self.expect("ident").value))
+            if w in ("tables", "schemas", "catalogs", "session",
+                     "functions"):
+                return self._finish(ast.Show(w))
+            raise SyntaxError(f"SHOW {w} is not supported")
         if t.kind == "kw" and t.value == "explain":
             self.next()
             analyze = bool(self.kw("analyze"))
@@ -262,10 +276,18 @@ class Parser:
             while self.accept("op", ","):
                 order_by.append(self._order_item())
         limit = None
+        offset = 0
+        if self.kw("offset"):  # Trino order: OFFSET m LIMIT n
+            offset = int(self.expect("number").value)
+            self.kw("rows") or self.kw("row")
         if self.kw("limit"):
             limit = int(self.expect("number").value)
+        if offset == 0 and self.kw("offset"):  # postgres order
+            offset = int(self.expect("number").value)
+            self.kw("rows") or self.kw("row")
         return ast.Select(items, from_, where, group_by, having, order_by,
-                          limit, distinct, grouping_sets=grouping_sets)
+                          limit, distinct, grouping_sets=grouping_sets,
+                          offset=offset)
 
     def _group_add(self, group_by, e):
         """Append a grouping expr, deduplicating structurally equal ones."""

@@ -791,9 +791,9 @@ class Planner:
             if hidden:
                 assert isinstance(node, Project)
                 node = Project(node.child, node.outputs + hidden)
-            node = Sort(node, keys, limit=sel.limit)
-        elif sel.limit is not None:
-            node = Limit(node, sel.limit)
+            node = Sort(node, keys, limit=sel.limit, offset=sel.offset)
+        elif sel.limit is not None or sel.offset:
+            node = Limit(node, sel.limit, offset=sel.offset)
         return RelationPlan(node, out_scope)
 
     # --------------------------------------------------- WHERE machinery

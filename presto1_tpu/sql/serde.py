@@ -140,9 +140,10 @@ def plan_to_json(n: L.LogicalNode) -> Dict[str, Any]:
     if isinstance(n, L.Sort):
         return {"k": "sort", "child": plan_to_json(n.child),
                 "keys": [[expr_to_json(e), asc, nf] for e, asc, nf in n.keys],
-                "limit": n.limit}
+                "limit": n.limit, "offset": n.offset}
     if isinstance(n, L.Limit):
-        return {"k": "limit", "child": plan_to_json(n.child), "n": n.n}
+        return {"k": "limit", "child": plan_to_json(n.child), "n": n.n,
+                "offset": n.offset}
     if isinstance(n, L.Output):
         return {"k": "output", "child": plan_to_json(n.child),
                 "names": [list(p) for p in n.names]}
@@ -195,9 +196,11 @@ def plan_from_json(d: Dict[str, Any]) -> L.LogicalNode:
     if k == "sort":
         return L.Sort(plan_from_json(d["child"]),
                       [(expr_from_json(e), asc, nf)
-                       for e, asc, nf in d["keys"]], d["limit"])
+                       for e, asc, nf in d["keys"]], d["limit"],
+                      d.get("offset", 0))
     if k == "limit":
-        return L.Limit(plan_from_json(d["child"]), d["n"])
+        return L.Limit(plan_from_json(d["child"]), d["n"],
+                       d.get("offset", 0))
     if k == "output":
         return L.Output(plan_from_json(d["child"]),
                         [tuple(p) for p in d["names"]])
