@@ -24,11 +24,13 @@ from .stats import QueryStats
 
 class Engine:
     def __init__(self, catalog: Catalog, session: Optional[Session] = None,
-                 events: Optional[EventBus] = None, memory_pool=None):
+                 events: Optional[EventBus] = None, memory_pool=None,
+                 access_control=None):
         self.catalog = catalog
         self.session = session or Session()
         self.events = events or EventBus()
         self.memory_pool = memory_pool  # shared MemoryPool (optional)
+        self.access_control = access_control  # server/security.AccessControl
         self._compiled_cache: dict = {}
         from .system_catalog import attach_system_tables
 
@@ -48,15 +50,51 @@ class Engine:
             self.memory_pool.register(ctx)
         return ctx
 
-    def plan(self, sql: str) -> LogicalNode:
-        q = sql_parser.parse(sql)
-        plan = Planner(self.catalog).plan(q)
-        return optimize(plan, self.catalog)
+    def _enforce_access(self, plan: LogicalNode, user: Optional[str]) -> None:
+        """Plan-time access control on resolved Scan nodes, fail-closed.
+
+        The reference checks table privileges during semantic analysis on
+        resolved table handles (``security/AccessControlManager``,
+        ``sql/analyzer/StatementAnalyzer``); checking the optimized plan's
+        Scan set covers every reference — FROM clauses, subqueries in any
+        clause, CTEs — because all of them lower to Scans."""
+        acl = self.access_control
+        if acl is None:
+            return
+        from ..sql.logical import Scan
+
+        stack = [plan]
+        while stack:
+            node = stack.pop()
+            if isinstance(node, Scan):
+                acl.check_can_select(user or self.session.user,
+                                     self.session.catalog, node.table)
+            stack.extend(node.children)
+
+    def scan_tables(self, plan: LogicalNode) -> list:
+        from ..sql.logical import Scan
+
+        out, stack = [], [plan]
+        while stack:
+            node = stack.pop()
+            if isinstance(node, Scan):
+                out.append(node.table)
+            stack.extend(node.children)
+        return out
+
+    def _plan_ast(self, q, user: Optional[str] = None) -> LogicalNode:
+        plan = optimize(Planner(self.catalog).plan(q), self.catalog)
+        self._enforce_access(plan, user)
+        return plan
+
+    def plan(self, sql: str, user: Optional[str] = None) -> LogicalNode:
+        return self._plan_ast(sql_parser.parse(sql), user)
 
     def explain(self, sql: str) -> str:
         return plan_tree(self.plan(sql))
 
-    def sql(self, sql: str, stats: Optional[QueryStats] = None):
+    def sql(self, sql: str, stats: Optional[QueryStats] = None,
+            user: Optional[str] = None):
         """Execute; returns the Output RecordBatch (display-named columns).
 
         A fresh Executor per statement: capacity/range records are
@@ -71,11 +109,17 @@ class Engine:
                 # shape; here the cached artifact is the compiled fragments)
                 cq = self._compiled_cache.get(sql)
                 if cq is None:
-                    cq = self.compile(sql)
+                    cq = self.compile(sql, user=user)
                     self._compiled_cache[sql] = cq
+                if self.access_control is not None:
+                    # re-check per call: the cache is shared across users
+                    for t in getattr(cq, "scan_tables", []):
+                        self.access_control.check_can_select(
+                            user or self.session.user,
+                            self.session.catalog, t)
                 out = cq()
             else:
-                plan = self.plan(sql)
+                plan = self.plan(sql, user=user)
                 mem = self._memory_context()
                 try:
                     out = Executor(
@@ -108,7 +152,7 @@ class Engine:
     def sql_pandas(self, sql: str):
         return self.sql(sql).to_pandas()
 
-    def execute_statement(self, sql: str):
+    def execute_statement(self, sql: str, user: Optional[str] = None):
         """Full statement surface: queries plus CREATE TABLE [AS] /
         INSERT INTO (query or VALUES) / DROP TABLE against writable
         in-memory tables (the trino-memory connector analog)."""
@@ -128,10 +172,10 @@ class Engine:
 
             if stmt.analyze:
                 inner = sql[sql.lower().index("analyze") + len("analyze"):]
-                text = self.explain_analyze(inner)
+                text = self.explain_analyze(inner, user=user)
             else:
                 inner = sql[sql.lower().index("explain") + len("explain"):]
-                text = plan_tree(self.plan(inner))
+                text = plan_tree(self.plan(inner, user=user))
             lines = np.array(text.split("\n"), dtype=object)
             dictionary, codes = np.unique(lines.astype("U"),
                                           return_inverse=True)
@@ -139,7 +183,7 @@ class Engine:
                 {"plan": Column(jnp.asarray(codes.astype(np.int32)), VARCHAR,
                                 dictionary=dictionary)}, len(lines))
         if isinstance(stmt, ast.Query):
-            return self.sql(sql)
+            return self.sql(sql, user=user)
         if isinstance(stmt, ast.CreateTable):
             if stmt.name in self.catalog:
                 raise ValueError(f"table {stmt.name} already exists")
@@ -148,8 +192,7 @@ class Engine:
                 self.catalog.tables[stmt.name] = MemoryTable(stmt.name, schema)
                 return self._dml_result(0)
             out = Executor(self.catalog).execute(
-                optimize(Planner(self.catalog).plan(stmt.as_query),
-                         self.catalog))
+                self._plan_ast(stmt.as_query, user))
             schema = [(n, c.type) for n, c in out.columns.items()]
             table = MemoryTable(stmt.name, schema)
             n = table.append(out)
@@ -166,8 +209,7 @@ class Engine:
                 raise ValueError(f"table {stmt.name} is not writable")
             if stmt.query is not None:
                 out = Executor(self.catalog).execute(
-                    optimize(Planner(self.catalog).plan(stmt.query),
-                             self.catalog))
+                    self._plan_ast(stmt.query, user))
             else:
                 out = self._values_batch(stmt.values, table)
             n = table.append(out)
@@ -276,20 +318,23 @@ class Engine:
                 arrays[cname] = np.asarray(vals).astype(t.np_dtype)
         return from_numpy(arrays, dict(table.schema))
 
-    def explain_analyze(self, sql: str) -> str:
+    def explain_analyze(self, sql: str, user: Optional[str] = None) -> str:
         stats = QueryStats()
-        plan = self.plan(sql)
+        plan = self.plan(sql, user=user)
         t0 = time.time()
         Executor(self.catalog, stats=stats).execute(plan)
         stats.wall_s = time.time() - t0
         return stats.render(plan)
 
-    def compile(self, sql: str):
+    def compile(self, sql: str, user: Optional[str] = None):
         """Compile the whole query pipeline into one jitted XLA program
         (runs one eager discovery pass to fix buffer capacities)."""
         from .executor import CompiledQuery
 
-        return CompiledQuery(self.catalog, self.plan(sql))
+        plan = self.plan(sql, user=user)
+        cq = CompiledQuery(self.catalog, plan)
+        cq.scan_tables = self.scan_tables(plan)
+        return cq
 
     def sql_distributed(self, sql: str, n_devices: int = 0):
         """Execute with every eligible heavy stage sharded over the device

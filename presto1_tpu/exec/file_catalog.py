@@ -82,10 +82,26 @@ class ParquetTable(Table):
             return Column(codes, t, validity=validity, dictionary=dictionary)
         at = self._arrow_types[column]
         if t.kind == "decimal":
-            scaled = pa.compute.multiply(
-                pa.compute.cast(arr, pa.float64()), 10.0 ** t.scale)  # type: ignore[attr-defined]
-            data = np.round(np.asarray(
-                scaled.to_pandas().fillna(0))).astype(np.int64)
+            # decode decimal128 exactly via python Decimals (the reference
+            # reads decimal128 unscaled ints exactly; a float64 cast
+            # corrupts values beyond ~15-16 significant digits). Unscaled
+            # values that overflow int64 raise instead of corrupting.
+            import decimal as _dec
+
+            vals = arr.to_pylist()
+            out = np.zeros(len(vals), dtype=np.int64)
+            with _dec.localcontext() as ctx:
+                ctx.prec = 76  # wide enough for decimal128 rescales
+                for i, v in enumerate(vals):
+                    if v is None:
+                        continue
+                    u = int(v.scaleb(t.scale).to_integral_value())
+                    if not (-(2 ** 63) <= u < 2 ** 63):
+                        raise OverflowError(
+                            f"decimal value {v} does not fit int64 at "
+                            f"scale {t.scale} (column {column})")
+                    out[i] = u
+            data = out
         elif t.kind == "date":
             if pa.types.is_timestamp(at):
                 arr = pa.compute.cast(arr, pa.date32())

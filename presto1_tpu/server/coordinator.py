@@ -84,8 +84,11 @@ class QueryManager:
                 return
             q.state = QueryState.RUNNING
         t0 = time.time()
+        # access control is enforced at plan time on resolved Scan nodes
+        # (Engine._enforce_access) and fails closed: a parse/plan error
+        # fails the query before any table is read.
         try:
-            out = self.engine.execute_statement(q.sql)
+            out = self.engine.execute_statement(q.sql, user=q.session.user)
             n = out.num_rows if isinstance(out.num_rows, int) else int(out.num_rows)
             decoded = {name: c.decode(n) for name, c in out.columns.items()}
             q.columns = [
@@ -135,45 +138,6 @@ def _json_value(v):
     return v
 
 
-def _referenced_tables(sql: str):
-    """Base tables named in a statement (for access-control checks)."""
-    from ..sql import ast
-    from ..sql.parser import parse
-
-    out = set()
-
-    def from_item(f):
-        if f is None:
-            return
-        if isinstance(f, ast.TableRef):
-            out.add(f.name)
-        elif isinstance(f, ast.SubqueryRef):
-            walk_q(f.query)
-        elif isinstance(f, ast.JoinItem):
-            from_item(f.left)
-            from_item(f.right)
-
-    def walk_sel(sel):
-        from_item(sel.from_)
-
-    def walk_q(q):
-        if isinstance(q, ast.Query):
-            for _, cq in q.ctes:
-                walk_q(cq)
-            walk_q(q.select)
-        elif isinstance(q, ast.SetOp):
-            walk_q(q.left)
-            walk_q(q.right)
-        elif isinstance(q, ast.Select):
-            walk_sel(q)
-
-    try:
-        walk_q(parse(sql))
-    except Exception:
-        pass
-    return out
-
-
 _UI_PAGE = """<!doctype html>
 <html><head><title>presto1-tpu</title><style>
 body{font-family:monospace;margin:2em;background:#111;color:#ddd}
@@ -193,10 +157,21 @@ class CoordinatorServer:
         allow-all (the reference's insecure default)."""
         from .security import AccessDeniedError, Authenticator
 
+        if access_control is not None:
+            # Derive a per-server Engine carrying the ACL so table access
+            # is checked at plan time on resolved Scan nodes (covers FROM,
+            # every subquery position, and CTEs) and fails closed — the
+            # reference enforces during semantic analysis on resolved
+            # handles (security/AccessControlManager, StatementAnalyzer).
+            # A derived engine (shared catalog/session/events) avoids
+            # mutating an engine shared with ACL-free coordinators.
+            engine = Engine(engine.catalog, engine.session,
+                            events=engine.events,
+                            memory_pool=engine.memory_pool,
+                            access_control=access_control)
         self.manager = QueryManager(engine)
         manager = self.manager
         auth = authenticator or Authenticator()
-        acl = access_control
 
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
@@ -220,9 +195,6 @@ class CoordinatorServer:
                 sql = self.rfile.read(length).decode()
                 try:
                     user = auth.authenticate(self.headers)
-                    if acl is not None:
-                        for t in _referenced_tables(sql):
-                            acl.check_can_select(user, "tpch", t)
                 except AccessDeniedError as e:
                     self._send(401, {"error": str(e)})
                     return
@@ -284,18 +256,22 @@ class CoordinatorServer:
                 if parts == ["ui"] or parts == ["ui", ""]:
                     # minimal live query console (the 62k-LoC React UI's
                     # essential surface: query list + states)
+                    import html as _html
+
                     rows = []
                     qs = list(manager.queries.values())
                     for q in sorted(qs, key=lambda x: x.created)[-50:][::-1]:
                         sql_short = (q.sql[:100] + "…") if len(q.sql) > 100 \
                             else q.sql
                         wall = "" if q.wall_s is None else f"{q.wall_s:.2f}"
+                        # user-controlled fields are escaped (stored-XSS
+                        # guard: sql text / user name render as data)
                         rows.append(
-                            f"<tr><td>{q.id}</td>"
+                            f"<tr><td>{_html.escape(q.id)}</td>"
                             f"<td class={q.state}>{q.state}</td>"
-                            f"<td>{q.session.user}</td>"
+                            f"<td>{_html.escape(str(q.session.user))}</td>"
                             f"<td>{wall}</td>"
-                            f"<td>{sql_short}</td></tr>")
+                            f"<td>{_html.escape(sql_short)}</td></tr>")
                     body = _UI_PAGE.replace("%ROWS%", "\n".join(rows)) \
                         .encode()
                     self.send_response(200)

@@ -30,9 +30,11 @@ class SetOp(Node):
     left: Node  # Select | SetOp
     right: Node  # Select
     all: bool = False
-    # trailing ORDER BY / LIMIT of the whole set operation (SQL scoping)
+    # trailing ORDER BY / LIMIT / OFFSET of the whole set operation
+    # (SQL scoping)
     order_by: List["OrderItem"] = field(default_factory=list)
     limit: Optional[int] = None
+    offset: int = 0
     op: str = "union"  # union | intersect | except
 
 

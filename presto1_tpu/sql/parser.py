@@ -225,10 +225,12 @@ class Parser:
             right = self._select_term()
             sel = ast.SetOp(sel, right, all_, op=setop)
         if isinstance(sel, ast.SetOp):
-            # a trailing ORDER BY/LIMIT binds to the whole set operation
+            # a trailing ORDER BY/LIMIT/OFFSET binds to the whole set
+            # operation
             last = sel.right
             sel.order_by, last.order_by = last.order_by, []
             sel.limit, last.limit = last.limit, None
+            sel.offset, last.offset = last.offset, 0
         return ast.Query(ctes, sel)
 
     def _select_term(self):

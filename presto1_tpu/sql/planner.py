@@ -468,9 +468,9 @@ class Planner:
 
             keys = [(conv_key(o.expr), o.ascending, o.nulls_first)
                     for o in op.order_by]
-            node = Sort(node, keys, limit=op.limit)
-        elif op.limit is not None:
-            node = Limit(node, op.limit)
+            node = Sort(node, keys, limit=op.limit, offset=op.offset)
+        elif op.limit is not None or op.offset:
+            node = Limit(node, op.limit, offset=op.offset)
         return RelationPlan(node, scope)
 
     # ------------------------------------------------------------- FROM

@@ -71,3 +71,24 @@ def test_write_parquet_roundtrip(engine, root):
     e2 = Engine(cat2)
     back = e2.sql("select sum(c) t from summary").to_pandas()
     assert int(back.t[0]) == 1000
+
+
+def test_parquet_decimal_exact_decode(tmp_path):
+    """Decimal128 decodes via exact unscaled integers: values with >16
+    significant digits survive (a float64 round-trip would corrupt them)."""
+    import decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from presto1_tpu.exec.file_catalog import ParquetTable
+
+    vals = [decimal.Decimal("123456789012345.67"),
+            decimal.Decimal("-999999999999999.99"), None]
+    path = str(tmp_path / "dec.parquet")
+    pq.write_table(
+        pa.table({"d": pa.array(vals, type=pa.decimal128(18, 2))}), path)
+    c = ParquetTable("t", path).host_column("d")
+    assert int(c.data[0]) == 12345678901234567
+    assert int(c.data[1]) == -99999999999999999
+    assert list(c.validity) == [True, True, False]

@@ -52,3 +52,21 @@ def test_offset_without_order(engine):
                      "(select o_orderkey from orders offset 100) t"
                      ).to_pandas()
     assert int(out.c[0]) == 1400
+
+
+def test_offset_binds_to_whole_setop(engine):
+    """'A UNION ALL B ... OFFSET n' skips over the combined result, not
+    just the last branch (parser transfers offset to the SetOp alongside
+    order_by/limit)."""
+    out = engine.sql(
+        "select n_nationkey k from nation where n_nationkey < 3 "
+        "union all "
+        "select n_nationkey from nation where n_nationkey >= 22 "
+        "order by k offset 4"
+    ).to_pandas()
+    assert list(out["k"]) == [23, 24]
+    # offset without order by, whole-setop scope: 25 + 25 rows, skip 47
+    out = engine.sql(
+        "select n_nationkey k from nation union all "
+        "select n_nationkey from nation offset 47").to_pandas()
+    assert len(out) == 3
