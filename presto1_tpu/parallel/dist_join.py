@@ -86,10 +86,10 @@ def distributed_hash_join(
         me = jax.lax.axis_index(axis)
         p_valid = jnp.clip(p_rows - me * p_shard_rows, 0, p_shard_rows)
         b_valid = jnp.clip(b_rows - me * b_shard_rows, 0, b_shard_rows)
-        precv, pkey, pmask = all_to_all_by_key(
+        precv, pkey, pmask, pdrop = all_to_all_by_key(
             {k: v for k, v in pa.items() if k != probe_key},
             pa[probe_key], p_valid, axis, pq)
-        brecv, bkey, bmask = all_to_all_by_key(
+        brecv, bkey, bmask, bdrop = all_to_all_by_key(
             {k: v for k, v in ba.items() if k != build_key},
             ba[build_key], b_valid, axis, bq)
 
@@ -123,14 +123,21 @@ def distributed_hash_join(
         vres = {name: c.validity for name, c in out.columns.items()
                 if c.validity is not None}
         nr = out.num_rows
-        return res, vres, jnp.reshape(nr, (1,))
+        return res, vres, jnp.reshape(nr, (1,)), jnp.reshape(pdrop + bdrop,
+                                                             (1,))
 
     smapped = shard_map(
         step, mesh=mesh,
         in_specs=(dict.fromkeys(parr, P(axis)), dict.fromkeys(barr, P(axis))),
         out_specs=P(axis),
     )
-    data, validity, counts = jax.jit(smapped)(parr, barr)
+    data, validity, counts, dropped = jax.jit(smapped)(parr, barr)
+    total_dropped = int(jnp.sum(dropped))
+    if total_dropped:
+        raise RuntimeError(
+            f"exchange overflow: {total_dropped} rows exceeded the "
+            f"src->dst quotas {quotas} — the discovery histogram under-"
+            f"sized the shuffle (skewed keys?); re-run with larger quotas")
 
     # stitch shards: rows of shard s live at [s*local_capacity,
     # s*local_capacity + counts[s]); compact with index arithmetic

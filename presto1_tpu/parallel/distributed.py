@@ -108,9 +108,9 @@ def distributed_join_agg_step(axis_name: str, quota: int, build_cap: int):
     """
 
     def step(l_key, l_val, l_valid, o_key, o_val, o_valid):
-        larr, lkey, lmask = all_to_all_by_key(
+        larr, lkey, lmask, _ldrop = all_to_all_by_key(
             {"val": l_val}, l_key, l_valid, axis_name, quota)
-        oarr, okey, omask = all_to_all_by_key(
+        oarr, okey, omask, _odrop = all_to_all_by_key(
             {"val": o_val}, o_key, o_valid, axis_name, quota)
 
         # local join: sort build side, searchsorted probe (ops/join.py design)

@@ -40,16 +40,22 @@ def all_to_all_by_key(
     num_valid: jnp.ndarray,
     axis_name: str,
     quota: int,
-) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray]:
+) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Repartition local rows so equal keys land on the same shard.
 
     Every shard packs its rows into an [n, quota] send buffer (quota =
-    max rows per src→dst pair; overflow is dropped — the discovery pass
-    sizes quotas so this never truncates in practice) and one all_to_all
-    moves everything over ICI.
+    max rows per src→dst pair, sized by the discovery pass) and one
+    all_to_all moves everything over ICI.
+
+    Rows beyond a src→dst quota cannot be sent inside a static-shape
+    collective; they are counted, NOT silently dropped: the fourth return
+    value is this shard's dropped-row count, and callers must check it on
+    the host (psum + raise, or retry with a doubled quota) before trusting
+    the result — the traced analog of the compiled executor's
+    ``overflow_checks`` guard.
 
     Returns (received arrays flattened to [n*quota], received key,
-    valid-row mask).
+    valid-row mask, dropped-row count scalar).
     """
     n = jax.lax.axis_size(axis_name)
     cap = key.shape[0]
@@ -63,7 +69,9 @@ def all_to_all_by_key(
     order = jnp.argsort(dest, stable=True)
     dest_sorted = jnp.take(dest, order)
     start = jnp.searchsorted(dest_sorted, jnp.arange(n + 1))
-    counts = jnp.minimum(start[1:] - start[:-1], quota)
+    raw_counts = start[1:] - start[:-1]
+    counts = jnp.minimum(raw_counts, quota)
+    dropped = jnp.sum(raw_counts - counts)
     slot_src = start[:n, None] + jnp.arange(quota)[None, :]  # [n, quota]
     slot_ok = jnp.arange(quota)[None, :] < counts[:, None]
     slot_row = jnp.take(order, jnp.clip(slot_src, 0, cap - 1), mode="clip")
@@ -89,4 +97,4 @@ def all_to_all_by_key(
     valid = (jnp.arange(quota)[None, :] < recv_counts[:, None]).reshape(-1)
     out = {name: b.reshape((n * quota,) + b.shape[2:])
            for name, b in recv.items()}
-    return out, recv_key.reshape(-1), valid
+    return out, recv_key.reshape(-1), valid, dropped
