@@ -91,6 +91,9 @@ class Column:
             out = data / (10 ** self.type.scale)  # type: ignore[attr-defined]
         elif self.type.kind == "date":
             out = np.array(["1970-01-01"], dtype="datetime64[D]")[0] + data
+        elif self.type.kind == "timestamp":
+            out = (np.array(["1970-01-01"], dtype="datetime64[us]")[0]
+                   + data.astype("timedelta64[us]"))
         else:
             out = data
         if self.validity is not None:
@@ -149,6 +152,12 @@ def from_numpy(arrays: Dict[str, np.ndarray], types: Dict[str, SqlType],
         if t.is_string and name not in dictionaries and arr.dtype.kind in ("U", "O", "S"):
             dictionary, codes = encode_dictionary(arr)
             cols[name] = Column(jnp.asarray(codes), t, dictionary=dictionary)
+        elif t.kind == "timestamp" and arr.dtype.kind == "M":
+            micros = arr.astype("datetime64[us]").astype(np.int64)
+            cols[name] = Column(jnp.asarray(micros), t)
+        elif t.kind == "date" and arr.dtype.kind == "M":
+            days = arr.astype("datetime64[D]").astype(np.int32)
+            cols[name] = Column(jnp.asarray(days), t)
         else:
             cols[name] = Column(
                 jnp.asarray(arr.astype(t.np_dtype, copy=False)), t,

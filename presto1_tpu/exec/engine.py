@@ -295,6 +295,8 @@ class Engine:
                     v = e.value
                 elif isinstance(e, ast.DateLit):
                     v = np.datetime64(e.value, "D")
+                elif isinstance(e, ast.TimestampLit):
+                    v = np.datetime64(e.value.replace(" ", "T", 1), "us")
                 else:
                     raise ValueError("VALUES must be literals")
                 if neg:
@@ -314,6 +316,11 @@ class Engine:
                 arrays[cname] = (
                     np.asarray(vals, dtype="datetime64[D]")
                     - np.datetime64("1970-01-01", "D")).astype(np.int32)
+            elif t.kind == "timestamp":
+                arrays[cname] = (
+                    np.asarray(vals, dtype="datetime64[us]")
+                    - np.datetime64("1970-01-01T00:00:00", "us")
+                ).astype(np.int64)
             else:
                 arrays[cname] = np.asarray(vals).astype(t.np_dtype)
         return from_numpy(arrays, dict(table.schema))
@@ -336,23 +343,40 @@ class Engine:
         cq.scan_tables = self.scan_tables(plan)
         return cq
 
-    def sql_distributed(self, sql: str, n_devices: int = 0):
+    def sql_distributed(self, sql: str, n_devices: int = 0,
+                        info: Optional[dict] = None):
         """Execute with every eligible heavy stage sharded over the device
-        mesh: single-key equi-joins run as repartitioned exchanges
-        (FIXED_HASH), and scan-rooted aggregations run partial→final.
-        Stages compose bottom-up via fragment stubs; ineligible stages
-        fall back to single-device operators."""
+        mesh — the SPMD analog of the reference's PlanFragmenter +
+        AddExchanges + SqlQueryScheduler pipeline
+        (``sql/planner/PlanFragmenter.java:106``,
+        ``optimizations/AddExchanges.java:115``).
+
+        The fragmenter walks the optimized plan bottom-up.  Every
+        equi-join (any key arity or type, inner/left/semi/anti, residual
+        conditions) and every decomposable aggregation (grouped or global)
+        becomes a mesh stage; the distribution type is chosen per join —
+        broadcast when the build side is small
+        (``DetermineJoinDistributionType.java:56``), hash repartition
+        otherwise.  Stages compose bottom-up via fragment stubs;
+        genuinely single-device work (sorts over final outputs, window
+        functions, distinct aggregates) runs locally between stages.
+
+        ``info``, if given, is filled with stage accounting:
+        ``mesh_stages`` (total) and per-kind counts — tests assert on it.
+        """
         import jax
         import numpy as np
 
         from ..batch import RecordBatch, round_capacity
-        from ..expr import ir
         from ..expr.eval import bind_string_ops, eval_expr
         from ..ops.common import key_ranges
         from ..ops.filter import filter_mask
         from ..ops.hashagg import AggSpec
-        from ..parallel.dist_agg import distributed_group_aggregate
-        from ..parallel.dist_join import distributed_hash_join, exchange_quota
+        from ..parallel.dist_agg import (distributed_global_aggregate,
+                                         distributed_group_aggregate)
+        from ..parallel.dist_join import (broadcast_hash_join,
+                                          distributed_hash_join,
+                                          exchange_quota, route_word)
         from ..parallel.distributed import make_mesh
         from ..sql.logical import Aggregate, Filter as LFilter, Join, Scan
 
@@ -360,11 +384,35 @@ class Engine:
         n_dev = n_devices or len(jax.devices())
         mesh = make_mesh(n_dev)
         stubs: dict = {}
+        stages = {"mesh_stages": 0, "repartition_joins": 0,
+                  "broadcast_joins": 0, "group_aggs": 0, "global_aggs": 0}
 
-        def ready(node, path):
-            return (path in stubs or isinstance(node, Scan)
-                    or (isinstance(node, LFilter)
-                        and isinstance(node.child, Scan)))
+        DECOMPOSABLE = ("sum", "count", "count_star", "min", "max", "avg")
+
+        def heavy_free(node, path):
+            """True when no un-stubbed Join/Aggregate remains below —
+            projections/filters/sorts over stubs run locally for free."""
+            if path in stubs:
+                return True
+            if isinstance(node, (Join, Aggregate)):
+                return False
+            return all(heavy_free(c, path + (i,))
+                       for i, c in enumerate(node.children))
+
+        def join_eligible(node):
+            if not node.equis:
+                return False
+            if node.kind in ("inner", "semi", "anti"):
+                return True
+            if node.kind == "left":
+                # per-shard LEFT needs the local fast paths: no residual
+                # (ops/join.py raises) — width re-checked after discovery
+                return node.residual is None
+            return False  # full outer repartition per-shard TBD
+
+        def agg_eligible(node):
+            return all(a.fn in DECOMPOSABLE and not a.distinct
+                       for a in node.aggs)
 
         def find(node, path=()):
             """Deepest eligible distributable stage not yet stubbed."""
@@ -374,21 +422,15 @@ class Engine:
                     return r
             if path in stubs:
                 return None
-            if (isinstance(node, Join)
-                    and node.kind in ("inner", "semi", "anti")
-                    and len(node.equis) == 1 and node.residual is None
-                    and ready(node.left, path + (0,))
-                    and ready(node.right, path + (1,))):
-                a, b = node.equis[0]
-                if (isinstance(a, ir.ColumnRef) and isinstance(b, ir.ColumnRef)
-                        and not a.type.is_string):
-                    return "join", path, node
-            if (isinstance(node, Aggregate) and node.group
-                    and all(a.fn in ("sum", "count", "count_star", "min",
-                                     "max", "avg") for a in node.aggs)
-                    and (ready(node.child, path + (0,))
+            if (isinstance(node, Join) and join_eligible(node)
+                    and heavy_free(node.left, path + (0,))
+                    and heavy_free(node.right, path + (1,))):
+                return "join", path, node
+            if (isinstance(node, Aggregate) and agg_eligible(node)
+                    and (heavy_free(node.child, path + (0,))
                          or (isinstance(node.child, LFilter)
-                             and ready(node.child.child, path + (0, 0))))):
+                             and heavy_free(node.child.child,
+                                            path + (0, 0))))):
                 return "agg", path, node
             return None
 
@@ -396,75 +438,155 @@ class Engine:
             return {n: c.dictionary for n, c in batch.columns.items()
                     if c.dictionary is not None}
 
+        def materialize_keys(batch, exprs, prefix):
+            """Key expressions become temp columns (the executor's
+            _x_Join pattern) so the mesh join sees plain columns."""
+            names = []
+            cols = dict(batch.columns)
+            for i, e in enumerate(exprs):
+                name = f"{prefix}{i}"
+                cols[name] = eval_expr(
+                    bind_string_ops(e, dicts_of(batch)), batch)
+                names.append(name)
+            return RecordBatch(cols, batch.num_rows), names
+
+        def drop_temp(batch, prefixes=("__lk", "__rk")):
+            cols = {n: c for n, c in batch.columns.items()
+                    if not n.startswith(prefixes)}
+            return RecordBatch(cols, batch.num_rows)
+
+        def run_join(node, path, ex):
+            lb = ex.execute(node.left, path + (0,))
+            rb = ex.execute(node.right, path + (1,))
+            lb, lkeys = materialize_keys(lb, [a for a, _ in node.equis],
+                                         "__lk")
+            rb, rkeys = materialize_keys(rb, [b for _, b in node.equis],
+                                         "__rk")
+            lr = key_ranges([lb[k] for k in lkeys], lb.num_rows)
+            rr = key_ranges([rb[k] for k in rkeys], rb.num_rows)
+            ranges = [(min(a[0], b[0]), max(a[1], b[1]))
+                      for a, b in zip(lr, rr)]
+            widths = sum(max(int(hi - lo + 2).bit_length(), 1)
+                         for lo, hi in ranges)
+            if node.kind == "left" and widths > 63:
+                return None  # local LEFT raises on wide keys
+            residual = None
+            if node.residual is not None:
+                merged = RecordBatch({**lb.columns, **rb.columns}, 0)
+                residual = bind_string_ops(node.residual, dicts_of(merged))
+            fanout = 1 if (node.build_unique
+                           or node.kind in ("semi", "anti")) else 4
+
+            from ..parallel.dist_join import JoinCapacityError
+
+            b_rows = int(rb.num_rows)
+            p_rows = int(lb.num_rows)
+            # distribution choice (DetermineJoinDistributionType): small
+            # build sides replicate — no collective moves the big side
+            broadcast = (node.kind != "full"
+                         and b_rows * max(n_dev, 1) <= max(p_rows, 1) * 2)
+            if broadcast:
+                p_shard = -(-max(lb.capacity(), n_dev * 128)
+                            // (n_dev * 128)) * 128
+                local_cap = round_capacity(max(p_shard * fanout, 128))
+                while True:
+                    try:
+                        out = broadcast_hash_join(
+                            mesh, lb, rb, lkeys, rkeys, node.kind, ranges,
+                            local_cap, residual=residual,
+                            build_unique=node.build_unique)
+                        break
+                    except JoinCapacityError as e:
+                        local_cap = round_capacity(e.needed)
+                stages["broadcast_joins"] += 1
+            else:
+                p_shard = max(lb.capacity() // n_dev, 1)
+                b_shard = max(rb.capacity() // n_dev, 1)
+                lw = np.asarray(route_word(lb, lkeys, ranges, lb.num_rows))
+                rw = np.asarray(route_word(rb, rkeys, ranges, rb.num_rows))
+                pq = exchange_quota(lw, p_rows, n_dev, p_shard)
+                bq = exchange_quota(rw, b_rows, n_dev, b_shard)
+                pq_r = round_capacity(max(pq, 128))
+                bq_r = round_capacity(max(bq, 128))
+                local_cap = round_capacity(max(n_dev * pq_r * fanout, 128))
+                while True:
+                    try:
+                        out = distributed_hash_join(
+                            mesh, lb, rb, lkeys, rkeys, node.kind, ranges,
+                            (pq_r, bq_r), local_cap, residual=residual,
+                            build_unique=node.build_unique)
+                        break
+                    except JoinCapacityError as e:
+                        local_cap = round_capacity(e.needed)
+                stages["repartition_joins"] += 1
+            return drop_temp(RecordBatch(out.columns, int(out.num_rows)))
+
+        def run_agg(node, path, ex):
+            filt = None
+            child_node = node.child
+            child_path = path + (0,)
+            if isinstance(child_node, LFilter) and child_path not in stubs:
+                filt = child_node
+                child_node = child_node.child
+                child_path = path + (0, 0)
+            below = ex.execute(child_node, child_path)
+            mask = None
+            if filt is not None:
+                mask = filter_mask(
+                    bind_string_ops(filt.predicate, dicts_of(below)),
+                    below)
+            specs = [
+                AggSpec(a.fn,
+                        None if a.arg is None else eval_expr(
+                            bind_string_ops(a.arg, dicts_of(below)),
+                            below),
+                        a.symbol)
+                for a in node.aggs
+            ]
+            if not node.group:
+                if int(below.num_rows) == 0:
+                    return None  # empty-input global agg: single-row NULL
+                    # semantics stay on the local operator
+                out = distributed_global_aggregate(
+                    mesh, specs, below.num_rows, mask=mask)
+                stages["global_aggs"] += 1
+                return RecordBatch(out.columns, int(out.num_rows))
+            primary = node.primary or node.group
+            carry = [s for s in node.group if s not in primary]
+            ranges = key_ranges([below[s] for s in primary],
+                                below.num_rows)
+            span = 1
+            for lo, hi in ranges:
+                span *= (hi - lo + 2)
+                if span > below.num_rows:
+                    break
+            max_groups = round_capacity(min(max(int(below.num_rows), 1),
+                                            span))
+            out = distributed_group_aggregate(
+                mesh, primary, {s: below[s] for s in node.group},
+                specs, below.num_rows, ranges, max_groups, mask=mask,
+                carry_names=carry)
+            stages["group_aggs"] += 1
+            return RecordBatch(out.columns, int(out.num_rows))
+
         while True:
             found = find(plan)
             if not found:
                 break
             kind, path, node = found
             ex = Executor(self.catalog, stubs=stubs)
-            if kind == "join":
-                lb = ex.execute(node.left, path + (0,))
-                rb = ex.execute(node.right, path + (1,))
-                a, b = node.equis[0]
-                lr = key_ranges([lb[a.name]], lb.num_rows)
-                rr = key_ranges([rb[b.name]], rb.num_rows)
-                ranges = [(min(lr[0][0], rr[0][0]),
-                           max(lr[0][1], rr[0][1]))]
-                p_shard = max(lb.capacity() // n_dev, 1)
-                b_shard = max(rb.capacity() // n_dev, 1)
-                pq = exchange_quota(np.asarray(lb[a.name].data),
-                                    lb.num_rows, n_dev, p_shard)
-                bq = exchange_quota(np.asarray(rb[b.name].data),
-                                    rb.num_rows, n_dev, b_shard)
-                pq_r = round_capacity(max(pq, 128))
-                bq_r = round_capacity(max(bq, 128))
-                fanout = 1 if (node.build_unique
-                               or node.kind in ("semi", "anti")) else 4
-                local_cap = round_capacity(n_dev * pq_r * fanout)
-                out = distributed_hash_join(
-                    mesh, lb, rb, a.name, b.name, node.kind, ranges,
-                    (pq_r, bq_r), local_cap)
-                out = RecordBatch(out.columns, int(out.num_rows))
-            else:
-                filt = None
-                child_node = node.child
-                child_path = path + (0,)
-                if isinstance(child_node, LFilter) and \
-                        child_path not in stubs:
-                    filt = child_node
-                    child_node = child_node.child
-                    child_path = path + (0, 0)
-                below = ex.execute(child_node, child_path)
-                mask = None
-                if filt is not None:
-                    mask = filter_mask(
-                        bind_string_ops(filt.predicate, dicts_of(below)),
-                        below)
-                specs = [
-                    AggSpec(a.fn,
-                            None if a.arg is None else eval_expr(
-                                bind_string_ops(a.arg, dicts_of(below)),
-                                below),
-                            a.symbol)
-                    for a in node.aggs
-                ]
-                primary = node.primary or node.group
-                carry = [s for s in node.group if s not in primary]
-                ranges = key_ranges([below[s] for s in primary],
-                                    below.num_rows)
-                span = 1
-                for lo, hi in ranges:
-                    span *= (hi - lo + 2)
-                    if span > below.num_rows:
-                        break
-                max_groups = round_capacity(min(below.num_rows, span))
-                out = distributed_group_aggregate(
-                    mesh, primary, {s: below[s] for s in node.group},
-                    specs, below.num_rows, ranges, max_groups, mask=mask,
-                    carry_names=carry)
-                out = RecordBatch(out.columns, int(out.num_rows))
+            out = run_join(node, path, ex) if kind == "join" \
+                else run_agg(node, path, ex)
+            if out is None:
+                # ineligible after discovery (wide LEFT keys, empty global
+                # agg): run the stage locally so the scan moves past it
+                stubs[path] = ex.execute(node, path)
+                continue
             stubs[path] = out
+            stages["mesh_stages"] += 1
 
+        if info is not None:
+            info.update(stages)
         if not stubs:
             return self.sql(sql)
         return Executor(self.catalog, stubs=stubs).execute(plan)

@@ -214,10 +214,29 @@ def _eval_call(expr: Call, batch: RecordBatch):
         return _eval_cast(expr, batch)
 
     if fn.startswith("extract_"):
-        days, va, _ = _eval(expr.args[0], batch)
-        days = days.astype(jnp.int64)
-        y, m, dom = _civil_full(days)
+        from ..types import MICROS_PER_DAY
+
+        raw, va, _ = _eval(expr.args[0], batch)
+        raw = raw.astype(jnp.int64)
+        if expr.args[0].type.kind == "timestamp":
+            days = jnp.floor_divide(raw, MICROS_PER_DAY)
+            tod = raw - days * MICROS_PER_DAY  # micros within the day
+        else:
+            days, tod = raw, None
         field = fn[len("extract_"):]
+        if field in ("hour", "minute", "second", "millisecond"):
+            if tod is None:
+                tod = jnp.zeros_like(days)
+            if field == "hour":
+                out = tod // 3_600_000_000
+            elif field == "minute":
+                out = (tod // 60_000_000) % 60
+            elif field == "second":
+                out = (tod // 1_000_000) % 60
+            else:
+                out = (tod // 1_000) % 1000
+            return _norm(out.astype(jnp.int64), va), va, None
+        y, m, dom = _civil_full(days)
         if field == "year":
             out = y
         elif field == "month":
@@ -250,9 +269,18 @@ def _eval_call(expr: Call, batch: RecordBatch):
         return _norm(out.astype(jnp.int64), va), va, None
 
     if fn == "date_trunc":
+        from ..types import MICROS_PER_DAY
+
         unit = expr.args[0].value  # constant varchar
-        days, va, _ = _eval(expr.args[1], batch)
-        days = days.astype(jnp.int64)
+        raw, va, _ = _eval(expr.args[1], batch)
+        raw = raw.astype(jnp.int64)
+        is_ts = expr.args[1].type.kind == "timestamp"
+        if is_ts and unit in ("millisecond", "second", "minute", "hour"):
+            step = {"millisecond": 1_000, "second": 1_000_000,
+                    "minute": 60_000_000, "hour": 3_600_000_000}[unit]
+            out = jnp.floor_divide(raw, step) * step
+            return _norm(out, va), va, None
+        days = jnp.floor_divide(raw, MICROS_PER_DAY) if is_ts else raw
         y, m, dom = _civil_full(days)
         one = jnp.ones_like(m)
         if unit == "day":
@@ -267,15 +295,30 @@ def _eval_call(expr: Call, batch: RecordBatch):
             out = _days_from_civil(y, one, one)
         else:
             raise NotImplementedError(f"date_trunc({unit})")
+        if is_ts:
+            return _norm(out * MICROS_PER_DAY, va), va, None
         return _norm(out.astype(jnp.int32), va), va, None
 
     if fn == "date_add":
+        from ..types import MICROS_PER_DAY
+
         unit = expr.args[0].value
         n, vn, _ = _eval(expr.args[1], batch)
-        days, va, _ = _eval(expr.args[2], batch)
-        days = days.astype(jnp.int64)
+        raw, va, _ = _eval(expr.args[2], batch)
+        raw = raw.astype(jnp.int64)
         n = n.astype(jnp.int64) if hasattr(n, "astype") else jnp.asarray(
             n, jnp.int64)
+        is_ts = expr.args[2].type.kind == "timestamp"
+        v = _and_validity(vn, va)
+        if is_ts and unit in ("millisecond", "second", "minute", "hour"):
+            step = {"millisecond": 1_000, "second": 1_000_000,
+                    "minute": 60_000_000, "hour": 3_600_000_000}[unit]
+            return _norm(raw + n * step, v), v, None
+        if is_ts:
+            days = jnp.floor_divide(raw, MICROS_PER_DAY)
+            tod = raw - days * MICROS_PER_DAY
+        else:
+            days, tod = raw, None
         if unit == "day":
             out = days + n
         elif unit == "week":
@@ -294,15 +337,30 @@ def _eval_call(expr: Call, batch: RecordBatch):
             out = jnp.minimum(_days_from_civil(y2, m2, dom), last)
         else:
             raise NotImplementedError(f"date_add({unit})")
-        v = _and_validity(vn, va)
+        if is_ts:
+            return _norm(out * MICROS_PER_DAY + tod, v), v, None
         return _norm(out.astype(jnp.int32), v), v, None
 
     if fn == "date_diff":
+        from ..types import MICROS_PER_DAY
+
         unit = expr.args[0].value
         a, va, _ = _eval(expr.args[1], batch)
         b, vb, _ = _eval(expr.args[2], batch)
         a = a.astype(jnp.int64)
         b = b.astype(jnp.int64)
+        ta = expr.args[1].type.kind
+        tb = expr.args[2].type.kind
+        v = _and_validity(va, vb)
+        if "timestamp" in (ta, tb):
+            ua = a * MICROS_PER_DAY if ta == "date" else a
+            ub = b * MICROS_PER_DAY if tb == "date" else b
+            if unit in ("millisecond", "second", "minute", "hour"):
+                step = {"millisecond": 1_000, "second": 1_000_000,
+                        "minute": 60_000_000, "hour": 3_600_000_000}[unit]
+                return _norm((ub - ua) // step, v), v, None
+            a = jnp.floor_divide(ua, MICROS_PER_DAY)
+            b = jnp.floor_divide(ub, MICROS_PER_DAY)
         if unit == "day":
             out = b - a
         elif unit == "week":
@@ -314,7 +372,6 @@ def _eval_call(expr: Call, batch: RecordBatch):
             out = months if unit == "month" else months // 12
         else:
             raise NotImplementedError(f"date_diff({unit})")
-        v = _and_validity(va, vb)
         return _norm(out.astype(jnp.int64), v), v, None
 
     if fn in ("=", "<>", "<", "<=", ">", ">="):
@@ -446,6 +503,15 @@ def _common_pair(ea: Expr, eb: Expr, batch: RecordBatch):
             _rescale(b.astype(jnp.int64), _scale_of(tb), s),
             va, vb, t,
         )
+    if t.kind == "timestamp":
+        # date -> timestamp coercion changes units (days -> micros)
+        from ..types import MICROS_PER_DAY
+
+        def to_us(x, tx):
+            x = x.astype(jnp.int64)
+            return x * MICROS_PER_DAY if tx.kind == "date" else x
+
+        return to_us(a, ta), to_us(b, tb), va, vb, t
     return a.astype(np.dtype(t.np_dtype)), b.astype(np.dtype(t.np_dtype)), va, vb, t
 
 
@@ -502,7 +568,9 @@ def _eval_arith(expr: Call, batch: RecordBatch):
     elif fn == "max2":
         out = jnp.maximum(a, b)
     else:  # '/'
-        if t.kind == "double" or out_t.kind == "double":
+        if t.kind == "real":
+            out = a / b  # fp32 division (RealType semantics)
+        elif t.kind == "double" or out_t.kind == "double":
             out = _to_double(a, t) / _to_double(b, t)
         else:
             out = a // b
@@ -528,6 +596,26 @@ def _eval_cast(expr: Call, batch: RecordBatch):
         return data.astype(jnp.int64), validity, None
     if target.kind == "integer":
         return data.astype(jnp.int32), validity, None
+    if target.kind == "smallint":
+        return data.astype(jnp.int16), validity, None
+    if target.kind == "tinyint":
+        return data.astype(jnp.int8), validity, None
+    if target.kind == "real":
+        return _to_double(data, t).astype(jnp.float32), validity, None
+    if target.kind == "timestamp":
+        from ..types import MICROS_PER_DAY
+
+        if t.kind == "date":
+            return (data.astype(jnp.int64) * MICROS_PER_DAY, validity, None)
+        if t.kind == "timestamp":
+            return data, validity, None
+    if target.kind == "date" and t.kind == "timestamp":
+        from ..types import MICROS_PER_DAY
+
+        return (jnp.floor_divide(data, MICROS_PER_DAY).astype(jnp.int32),
+                validity, None)
+    if target.is_string and t.is_string:
+        return data, validity, d  # char <-> varchar share dictionary codes
     if target.kind == t.kind:
         return data, validity, d
     raise TypeError(f"cast {t} -> {target} unsupported on device")

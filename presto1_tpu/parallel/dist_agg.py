@@ -185,3 +185,31 @@ def _partial_type(partial_specs, name):
         if s.name == name:
             return AggSpec(s.fn, s.input, s.name).output_type()
     raise KeyError(name)
+
+
+def distributed_global_aggregate(
+    mesh: Mesh,
+    aggs: Sequence[AggSpec],
+    num_rows: int,
+    mask: Optional[jnp.ndarray] = None,
+    axis: str = "d",
+) -> RecordBatch:
+    """Ungrouped aggregation over the mesh: a degenerate group-by on a
+    constant key (the reference's single-group AggregationOperator with a
+    partial→final exchange; with one group the exchange is an all-reduce).
+
+    Caller must guarantee num_rows > 0 — SQL's empty-input global
+    aggregate (one row of NULL/0) stays on the single-device path."""
+    cap = None
+    for s in aggs:
+        if s.input is not None:
+            cap = s.input.data.shape[0]
+            break
+    if cap is None:
+        cap = mask.shape[0] if mask is not None else 128
+    const = Column(jnp.zeros((cap,), jnp.int64), BIGINT)
+    out = distributed_group_aggregate(
+        mesh, ["__g"], {"__g": const}, aggs, num_rows, [(0, 0)], 128,
+        mask=mask, axis=axis)
+    cols = {n: c for n, c in out.columns.items() if n != "__g"}
+    return RecordBatch(cols, out.num_rows)

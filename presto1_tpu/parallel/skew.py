@@ -82,7 +82,7 @@ def skew_aware_join(
     b_shard_rows = round_capacity(build.num_rows) // n_dev or 1
     bq = exchange_quota(bk_host, build.num_rows, n_dev, b_shard_rows)
     cold_out = distributed_hash_join(
-        mesh, cold, build, probe_key, build_key, "inner", ranges,
+        mesh, cold, build, [probe_key], [build_key], "inner", ranges,
         (round_capacity(max(pq, 128)), round_capacity(max(bq, 128))),
         round_capacity(max(n_cold * 2, 128)), axis=axis)
 

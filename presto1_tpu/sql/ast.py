@@ -131,6 +131,11 @@ class DateLit(Expr):
 
 
 @dataclass
+class TimestampLit(Expr):
+    value: str  # 'YYYY-MM-DD[ HH:MM:SS[.fff]]'
+
+
+@dataclass
 class IntervalLit(Expr):
     value: int
     unit: str  # 'day' | 'month' | 'year'

@@ -625,6 +625,12 @@ class Parser:
             self.expect("op", ")")
             return e
         if t.kind == "ident":
+            # typed literal: TIMESTAMP '...' (TIMESTAMP stays an ident so
+            # columns may use the name)
+            if t.value.lower() == "timestamp" and self.peek(1).kind == "string":
+                self.next()
+                s = self.expect("string")
+                return ast.TimestampLit(s.value)
             # function call?
             if self.peek(1).kind == "op" and self.peek(1).value == "(":
                 name = self.next().value

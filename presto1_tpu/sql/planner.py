@@ -111,25 +111,23 @@ def _days(iso: str) -> int:
     return int((np.datetime64(iso, "D") - EPOCH) / np.timedelta64(1, "D"))
 
 
+def _micros(text: str) -> int:
+    """TIMESTAMP literal text -> int64 micros since epoch (timestamp(6)
+    storage; reference parses to a long the same way,
+    ``spi/type/TimestampType.java``)."""
+    t = text.strip().replace(" ", "T", 1)
+    return int((np.datetime64(t, "us")
+                - np.datetime64("1970-01-01T00:00:00", "us"))
+               / np.timedelta64(1, "us"))
+
+
 def parse_type(name: str) -> SqlType:
-    n = name.strip().lower()
-    if n.startswith("decimal"):
-        inner = n[n.find("(") + 1:n.find(")")] if "(" in n else "12,2"
-        p, s = (inner.split(",") + ["0"])[:2]
-        return DecimalType(int(p.strip()), int(s.strip()))
-    if n.startswith("double"):
-        return DOUBLE
-    if n.startswith("bigint"):
-        return BIGINT
-    if n.startswith(("integer", "int")):
-        return INTEGER
-    if n.startswith("date"):
-        return DATE
-    if n.startswith(("varchar", "char")):
-        return VARCHAR
-    if n.startswith("boolean"):
-        return BOOLEAN
-    raise PlanError(f"unknown type {name}")
+    from ..types import parse_type_str
+
+    try:
+        return parse_type_str(name)
+    except ValueError as e:
+        raise PlanError(str(e))
 
 
 AGG_FNS = {"sum", "avg", "min", "max", "count"}
@@ -597,6 +595,7 @@ class Planner:
             if i.alias and i.expr is not None:
                 select_alias_map[i.alias] = i.expr
 
+        group_ast_map: List[Tuple[ast.Expr, ir.Expr]] = []
         if has_agg:
             conv = ExprConverter(scope, self)
             group_syms: List[str] = []
@@ -616,6 +615,8 @@ class Planner:
                 else:
                     sym = self.symbol(alias or "expr")
                     pre_extra.append((sym, gi))
+                    group_ast_map.append(
+                        (gast, ir.ColumnRef(sym, gi.type)))
                 group_syms.append(sym)
                 fr = _field_for(scope, gi, sym, alias)
                 group_field_map.append(fr)
@@ -735,7 +736,8 @@ class Planner:
                                       agg_map)
 
         # SELECT projections
-        conv = ExprConverter(scope, self, agg_map=agg_map)
+        conv = ExprConverter(scope, self, agg_map=agg_map,
+                             by_value=group_ast_map)
         outputs: List[Tuple[str, ir.Expr]] = []
         out_fields: List[FieldRef] = []
         for i in sel.items:
@@ -778,7 +780,8 @@ class Planner:
             # (SQL ORDER BY scoping; reference StatementAnalyzer order-by scope)
             sort_scope = _TwoLevelScope(Scope(out_fields), Scope(scope.fields),
                                         outer)
-            sconv = ExprConverter(sort_scope, self, agg_map=agg_map)
+            sconv = ExprConverter(sort_scope, self, agg_map=agg_map,
+                                  by_value=group_ast_map)
             keys = []
             hidden: List[Tuple[str, ir.Expr]] = []
             for o in sel.order_by:
@@ -978,11 +981,16 @@ class ExprConverter:
     """AST expression → typed IR over a scope (the ExpressionAnalyzer)."""
 
     def __init__(self, scope: Scope, planner: Planner, agg_map=None,
-                 replace=None):
+                 replace=None, by_value=None):
         self.scope = scope
         self.planner = planner
         self.agg_map = agg_map or {}
         self.replace = replace or {}
+        # structural (AST-equality) replacements: GROUP BY expressions
+        # repeated in SELECT/HAVING/ORDER BY resolve to their grouped
+        # symbol (reference: StatementAnalyzer's canonicalized group-expr
+        # matching) — AST nodes are dataclasses, so == is structural
+        self.by_value = by_value or []
         self.used_outer: Set[str] = set()
 
     def convert(self, e: ast.Expr) -> ir.Expr:
@@ -990,6 +998,9 @@ class ExprConverter:
             return self.replace[id(e)]
         if id(e) in self.agg_map:
             return self.agg_map[id(e)]
+        for gast, gir in self.by_value:
+            if e == gast:
+                return gir
         m = getattr(self, f"_c_{type(e).__name__}", None)
         if m is None:
             raise PlanError(f"cannot convert {type(e).__name__}")
@@ -1023,6 +1034,11 @@ class ExprConverter:
 
     def _c_DateLit(self, e: ast.DateLit) -> ir.Expr:
         return ir.Literal(_days(e.value), DATE)
+
+    def _c_TimestampLit(self, e: ast.TimestampLit) -> ir.Expr:
+        from ..types import TIMESTAMP
+
+        return ir.Literal(_micros(e.value), TIMESTAMP)
 
     def _c_BinaryOp(self, e: ast.BinaryOp) -> ir.Expr:
         # constant-fold date ± interval
@@ -1068,7 +1084,8 @@ class ExprConverter:
                 return ir.call(name, args[0], type=DOUBLE)
             return ir.call(name, *args)
         if name in ("year", "month", "day", "quarter", "week",
-                    "day_of_week", "dow", "day_of_year", "doy"):
+                    "day_of_week", "dow", "day_of_year", "doy",
+                    "hour", "minute", "second", "millisecond"):
             return ir.call(f"extract_{name}", self.convert(e.args[0]),
                            type=BIGINT)
         if name in ("date_trunc", "date_add", "date_diff"):
@@ -1077,13 +1094,19 @@ class ExprConverter:
                 raise PlanError(f"{name}: unit must be a string literal")
             args = [ir.Literal(unit.value, VARCHAR)] + [
                 self.convert(a) for a in e.args[1:]]
-            t = BIGINT if name == "date_diff" else DATE
+            t = BIGINT if name == "date_diff" else args[-1].type
             return ir.call(name, *args, type=t)
         if name == "current_date":
             import time as _time
 
             days = int(_time.time() // 86400)
             return ir.Literal(days, DATE)
+        if name in ("current_timestamp", "now", "localtimestamp"):
+            import time as _time
+
+            from ..types import TIMESTAMP
+
+            return ir.Literal(int(_time.time() * 1_000_000), TIMESTAMP)
         raise PlanError(
             f"aggregate {e.name} in invalid context (or unknown function)")
 
@@ -1127,7 +1150,8 @@ class ExprConverter:
 
     EXTRACT_FIELDS = ("year", "month", "day", "quarter", "dow",
                       "day_of_week", "doy", "day_of_year", "week",
-                      "week_of_year")
+                      "week_of_year", "hour", "minute", "second",
+                      "millisecond")
 
     def _c_Extract(self, e: ast.Extract) -> ir.Expr:
         if e.field not in self.EXTRACT_FIELDS:

@@ -30,7 +30,8 @@ import numpy as np
 
 @dataclass(frozen=True)
 class SqlType:
-    kind: str  # 'bigint','integer','double','boolean','date','varchar','decimal'
+    kind: str  # bigint|integer|smallint|tinyint|double|real|boolean|date|
+    #            timestamp|varchar|char|decimal
 
     @property
     def np_dtype(self):
@@ -38,11 +39,12 @@ class SqlType:
 
     @property
     def is_string(self) -> bool:
-        return self.kind == "varchar"
+        return self.kind in ("varchar", "char")
 
     @property
     def is_numeric(self) -> bool:
-        return self.kind in ("bigint", "integer", "double", "decimal")
+        return self.kind in ("bigint", "integer", "smallint", "tinyint",
+                             "double", "real", "decimal")
 
     def __str__(self):
         return self.kind
@@ -62,51 +64,110 @@ class DecimalType(SqlType):
         return f"decimal({self.precision},{self.scale})"
 
 
+@dataclass(frozen=True)
+class TimestampType(SqlType):
+    """TIMESTAMP(p) — stored as int64 MICROseconds since the epoch
+    regardless of declared precision (covers p <= 6; the reference stores
+    p <= 6 in one long too, ``spi/type/TimestampType.java``).  Precision
+    is display/rounding metadata."""
+
+    precision: int = 3
+
+    def __init__(self, precision: int = 3):
+        object.__setattr__(self, "kind", "timestamp")
+        object.__setattr__(self, "precision", min(int(precision), 6))
+
+    def __str__(self):
+        return f"timestamp({self.precision})"
+
+
+@dataclass(frozen=True)
+class CharType(SqlType):
+    """CHAR(n) — dictionary-coded like varchar; comparisons ignore
+    trailing pad spaces (values are stored stripped, the reference's
+    comparison semantics for ``spi/type/CharType.java``)."""
+
+    length: int = 1
+
+    def __init__(self, length: int = 1):
+        object.__setattr__(self, "kind", "char")
+        object.__setattr__(self, "length", int(length))
+
+    def __str__(self):
+        return f"char({self.length})"
+
+
+MICROS_PER_DAY = 86_400_000_000
+
 _NP_DTYPES = {
     "bigint": np.dtype(np.int64),
     "integer": np.dtype(np.int32),
+    "smallint": np.dtype(np.int16),
+    "tinyint": np.dtype(np.int8),
     "double": np.dtype(np.float64),
+    "real": np.dtype(np.float32),
     "boolean": np.dtype(np.bool_),
     "date": np.dtype(np.int32),
+    "timestamp": np.dtype(np.int64),  # micros since epoch
     "decimal": np.dtype(np.int64),
     "varchar": np.dtype(np.int32),  # dictionary codes
+    "char": np.dtype(np.int32),  # dictionary codes
 }
 
 BIGINT = SqlType("bigint")
 INTEGER = SqlType("integer")
+SMALLINT = SqlType("smallint")
+TINYINT = SqlType("tinyint")
 DOUBLE = SqlType("double")
+REAL = SqlType("real")
 BOOLEAN = SqlType("boolean")
 DATE = SqlType("date")
+TIMESTAMP = TimestampType(3)
 VARCHAR = SqlType("varchar")
 
 
 def parse_type_str(name: str) -> SqlType:
     """Inverse of ``str(SqlType)`` (used by the page wire format and DDL)."""
     n = name.strip().lower()
+
+    def paren_args(default):
+        if "(" not in n:
+            return default
+        return [x.strip() for x in n[n.find("(") + 1:n.find(")")].split(",")]
+
     if n.startswith("decimal"):
-        inner = n[n.find("(") + 1:n.find(")")] if "(" in n else "12,2"
-        p, s = (inner.split(",") + ["0"])[:2]
-        return DecimalType(int(p.strip()), int(s.strip()))
-    for prefix, t in (("double", "double"), ("bigint", "bigint"),
-                      ("integer", "integer"), ("int", "integer"),
-                      ("date", "date"), ("varchar", "varchar"),
-                      ("char", "varchar"), ("boolean", "boolean")):
+        p, s = (paren_args(["12", "2"]) + ["0"])[:2]
+        return DecimalType(int(p), int(s))
+    if n.startswith("timestamp"):
+        return TimestampType(int(paren_args(["3"])[0]))
+    if n.startswith("char"):
+        return CharType(int(paren_args(["1"])[0]))
+    for prefix, t in (("double", DOUBLE), ("real", REAL), ("float", REAL),
+                      ("bigint", BIGINT), ("smallint", SMALLINT),
+                      ("tinyint", TINYINT), ("integer", INTEGER),
+                      ("int", INTEGER), ("date", DATE),
+                      ("varchar", VARCHAR), ("boolean", BOOLEAN),
+                      ("bool", BOOLEAN)):
         if n.startswith(prefix):
-            return SqlType(t) if t != "varchar" else VARCHAR
+            return t
     raise ValueError(f"unknown type {name}")
+
+
+_NUMERIC_ORDER = {"tinyint": 0, "smallint": 1, "integer": 2, "bigint": 3,
+                  "date": 3, "decimal": 4, "real": 5, "double": 6}
 
 
 def common_supertype(a: SqlType, b: SqlType) -> SqlType:
     """Result type of binary arithmetic/comparison coercion.
 
     Mirrors the reference's ``TypeCoercion`` lattice for the types we
-    support: integer -> bigint -> decimal -> double.
+    support: tinyint -> smallint -> integer -> bigint -> decimal -> real
+    -> double; date -> timestamp; char -> varchar.
     """
     if a == b:
         return a
-    order = {"integer": 0, "bigint": 1, "date": 1, "decimal": 2, "double": 3}
-    if a.kind in order and b.kind in order:
-        hi = a if order[a.kind] >= order[b.kind] else b
+    if a.kind in _NUMERIC_ORDER and b.kind in _NUMERIC_ORDER:
+        hi = a if _NUMERIC_ORDER[a.kind] >= _NUMERIC_ORDER[b.kind] else b
         lo = b if hi is a else a
         if hi.kind == "decimal" and lo.kind == "decimal":
             # widen to max scale
@@ -114,4 +175,10 @@ def common_supertype(a: SqlType, b: SqlType) -> SqlType:
         return hi
     if a.kind == "date" and b.kind == "date":
         return a
+    if {a.kind, b.kind} == {"date", "timestamp"}:
+        return a if a.kind == "timestamp" else b
+    if a.kind == "timestamp" and b.kind == "timestamp":
+        return a if a.precision >= b.precision else b  # type: ignore[attr-defined]
+    if a.is_string and b.is_string:
+        return a if a.kind == "varchar" else b
     raise TypeError(f"no common supertype for {a} and {b}")

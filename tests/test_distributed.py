@@ -104,7 +104,7 @@ def test_distributed_join_matches_local(mesh):
     bq = exchange_quota(bk, nb_rows, 8, round_capacity(nb_rows) // 8)
     for kind in ("inner", "semi", "anti"):
         out = distributed_hash_join(
-            mesh, probe, build, "pk", "bk", kind, ranges,
+            mesh, probe, build, ["pk"], ["bk"], kind, ranges,
             (round_capacity(pq), round_capacity(bq)),
             round_capacity(np_rows))
         ref = hash_join(probe, build, ["pk"], ["bk"], kind, ranges,
@@ -133,7 +133,7 @@ def test_exchange_overflow_raises(mesh):
     build = from_numpy({"bk": bk, "bv": bk * 10}, dict(bk=BIGINT, bv=BIGINT))
     with pytest.raises(RuntimeError, match="exchange overflow"):
         distributed_hash_join(
-            mesh, probe, build, "pk", "bk", "inner", [(0, 1500)],
+            mesh, probe, build, ["pk"], ["bk"], "inner", [(0, 1500)],
             (64, 64), round_capacity(np_rows))
 
 
