@@ -101,6 +101,10 @@ def _eval(expr: Expr, batch: RecordBatch):
             dt = jnp.int64 if t.kind == "decimal" else np.dtype(t.np_dtype)
             dic = np.empty(0, dtype="U1") if t.is_string else None
             return (jnp.zeros((n,), dt), jnp.zeros((n,), bool), dic)
+        if expr.type.is_string and isinstance(expr.value, str):
+            # constant varchar: a one-entry dictionary, code 0 everywhere
+            return (jnp.zeros((), jnp.int32), None,
+                    np.asarray([expr.value]))
         return _literal_value(expr), None, None
     if isinstance(expr, ColumnRef):
         c = batch[expr.name]
@@ -433,6 +437,52 @@ def _eval_call(expr: Call, batch: RecordBatch):
                         _to_double(b, expr.args[1].type))
         return _norm(out, v), v, None
 
+    if fn in ("sin", "cos", "tan", "asin", "acos", "atan", "sinh",
+              "cosh", "tanh", "cbrt", "degrees", "radians"):
+        a, va, _ = _eval(expr.args[0], batch)
+        x = _to_double(a, expr.args[0].type)
+        f = {"sin": jnp.sin, "cos": jnp.cos, "tan": jnp.tan,
+             "asin": jnp.arcsin, "acos": jnp.arccos, "atan": jnp.arctan,
+             "sinh": jnp.sinh, "cosh": jnp.cosh, "tanh": jnp.tanh,
+             "cbrt": jnp.cbrt, "degrees": jnp.degrees,
+             "radians": jnp.radians}[fn]
+        return _norm(f(x), va), va, None
+
+    if fn == "atan2":
+        a, va, _ = _eval(expr.args[0], batch)
+        b, vb, _ = _eval(expr.args[1], batch)
+        v = _and_validity(va, vb)
+        out = jnp.arctan2(_to_double(a, expr.args[0].type),
+                          _to_double(b, expr.args[1].type))
+        return _norm(out, v), v, None
+
+    if fn == "log":  # log(base, x) — Trino argument order
+        a, va, _ = _eval(expr.args[0], batch)
+        b, vb, _ = _eval(expr.args[1], batch)
+        v = _and_validity(va, vb)
+        out = (jnp.log(_to_double(b, expr.args[1].type))
+               / jnp.log(_to_double(a, expr.args[0].type)))
+        return _norm(out, v), v, None
+
+    if fn == "sign":
+        a, va, _ = _eval(expr.args[0], batch)
+        out = jnp.sign(a)
+        if expr.type.kind == "bigint":
+            out = out.astype(jnp.int64)
+        return _norm(out, va), va, None
+
+    if fn == "truncate":
+        a, va, _ = _eval(expr.args[0], batch)
+        return _norm(jnp.trunc(_to_double(a, expr.args[0].type)), va), \
+            va, None
+
+    if fn in ("is_nan", "is_finite", "is_infinite"):
+        a, va, _ = _eval(expr.args[0], batch)
+        x = _to_double(a, expr.args[0].type)
+        out = {"is_nan": jnp.isnan, "is_finite": jnp.isfinite,
+               "is_infinite": jnp.isinf}[fn](x)
+        return _norm(out, va), va, None
+
     if fn == "mod":
         a, b, va, vb, t = _common_pair(expr.args[0], expr.args[1], batch)
         v = _and_validity(va, vb)
@@ -666,7 +716,47 @@ def bind_string_ops(expr: Expr, dicts: Dict[str, np.ndarray]) -> Expr:
     assert isinstance(expr, Call)
     if _foldable(expr, dicts):
         return _fold(expr, dicts)
+    folded = _fold_const_string(expr)
+    if folded is not None:
+        return folded
     return Call(expr.fn, tuple(bind_string_ops(a, dicts) for a in expr.args), expr.type)
+
+
+def _fold_const_string(expr: Call):
+    """Constant-fold a string-consuming subtree with NO column references
+    (e.g. ``ltrim('  x ')``): substitute the first string literal as a
+    one-row pseudo-column, run the host string evaluator, and return the
+    result as a Literal."""
+    nodes = list(walk(expr))
+    if any(isinstance(e, (ColumnRef, DictLookup)) for e in nodes):
+        return None
+    lits = [e for e in nodes
+            if isinstance(e, Literal) and e.type.is_string
+            and isinstance(e.value, str)]
+    if not lits:
+        return None
+    target = lits[0]
+    ref = ColumnRef("__lit", VARCHAR)
+
+    def sub(e):
+        if e is target:
+            return ref
+        if isinstance(e, Call):
+            return Call(e.fn, tuple(sub(a) for a in e.args), e.type)
+        return e
+
+    try:
+        vals = _eval_strings(sub(expr), np.array([target.value]))
+    except NotImplementedError:
+        return None
+    v = np.asarray(vals).reshape(-1)[0]
+    if expr.type.is_string:
+        return Literal(str(v), expr.type)
+    if expr.type.kind == "boolean":
+        return Literal(bool(v), expr.type)
+    if expr.type.kind in ("double", "real"):
+        return Literal(float(v), expr.type)
+    return Literal(int(v), expr.type)
 
 
 def _string_columns(expr: Expr):
@@ -703,7 +793,10 @@ def _fold(expr: Call, dicts) -> Expr:
         e for e in walk(expr) if isinstance(e, ColumnRef) and e.name == name
     )
     if expr.type.is_string:
-        new_dict, codes = np.unique(np.asarray(values, dtype=dictionary.dtype), return_inverse=True)
+        # NOT dictionary.dtype: derived strings can be longer than the
+        # source column's fixed width (md5 of a U14 column is U32)
+        new_dict, codes = np.unique(np.asarray(values, dtype=str),
+                                    return_inverse=True)
         table = np.append(codes.astype(np.int32), np.int32(0))
         return DictLookup(colref, table, VARCHAR, label=_label(expr), dictionary=new_dict)
     table = np.asarray(values)
@@ -758,6 +851,172 @@ def _eval_strings(expr: Expr, values: np.ndarray):
         return np.char.lower(np.asarray(args[0], dtype=str))
     if fn == "trim":
         return np.char.strip(np.asarray(args[0], dtype=str))
+    if fn == "ltrim":
+        return np.char.lstrip(np.asarray(args[0], dtype=str))
+    if fn == "rtrim":
+        return np.char.rstrip(np.asarray(args[0], dtype=str))
+    if fn == "reverse":
+        return np.array([v[::-1] for v in np.asarray(args[0], dtype=str)],
+                        dtype=str)
+    if fn == "replace":
+        frm = args[1] if len(args) > 1 else ""
+        to = args[2] if len(args) > 2 else ""
+        return np.array([v.replace(frm, to)
+                         for v in np.asarray(args[0], dtype=str)], dtype=str)
+    if fn in ("lpad", "rpad"):
+        n, pad = int(args[1]), (args[2] if len(args) > 2 else " ")
+        out = []
+        for v in np.asarray(args[0], dtype=str):
+            if len(v) >= n:
+                out.append(v[:n])
+            else:
+                fill = (pad * n)[:n - len(v)]
+                out.append(fill + v if fn == "lpad" else v + fill)
+        return np.array(out, dtype=str)
+    if fn == "strpos":
+        sub = args[1]
+        return np.array([v.find(sub) + 1
+                         for v in np.asarray(args[0], dtype=str)],
+                        dtype=np.int64)
+    if fn == "starts_with":
+        return np.array([v.startswith(args[1])
+                         for v in np.asarray(args[0], dtype=str)], dtype=bool)
+    if fn == "split_part":
+        delim, idx = args[1], int(args[2])
+        out = []
+        for v in np.asarray(args[0], dtype=str):
+            parts = v.split(delim)
+            out.append(parts[idx - 1] if 0 < idx <= len(parts) else "")
+        return np.array(out, dtype=str)
+    if fn == "codepoint":
+        return np.array([ord(v[0]) if v else 0
+                         for v in np.asarray(args[0], dtype=str)],
+                        dtype=np.int64)
+    if fn == "levenshtein_distance":
+        import difflib  # noqa: F401 — stdlib-only Levenshtein below
+
+        def lev(a, b):
+            if len(a) < len(b):
+                a, b = b, a
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        sub = args[1]
+        return np.array([lev(v, sub)
+                         for v in np.asarray(args[0], dtype=str)],
+                        dtype=np.int64)
+    if fn == "to_hex":
+        return np.array([v.encode().hex().upper()
+                         for v in np.asarray(args[0], dtype=str)], dtype=str)
+    if fn == "md5":
+        import hashlib
+
+        return np.array([hashlib.md5(v.encode()).hexdigest()
+                         for v in np.asarray(args[0], dtype=str)], dtype=str)
+    if fn == "sha256":
+        import hashlib
+
+        return np.array([hashlib.sha256(v.encode()).hexdigest()
+                         for v in np.asarray(args[0], dtype=str)], dtype=str)
+    # --- regex family (reference: operator/scalar/JoniRegexpFunctions) ---
+    if fn == "regexp_like":
+        pat = re.compile(args[1])
+        return np.array([bool(pat.search(v))
+                         for v in np.asarray(args[0], dtype=str)], dtype=bool)
+    if fn == "regexp_extract":
+        pat = re.compile(args[1])
+        group = int(args[2]) if len(args) > 2 else 0
+        out = []
+        for v in np.asarray(args[0], dtype=str):
+            m = pat.search(v)
+            out.append(m.group(group) if m and group <= pat.groups else "")
+        return np.array(out, dtype=str)
+    if fn == "regexp_replace":
+        pat = re.compile(args[1])
+        repl = re.sub(r"\$(\d+)", r"\\\1", args[2]) if len(args) > 2 else ""
+        return np.array([pat.sub(repl, v)
+                         for v in np.asarray(args[0], dtype=str)], dtype=str)
+    if fn == "regexp_count":
+        pat = re.compile(args[1])
+        return np.array([len(pat.findall(v))
+                         for v in np.asarray(args[0], dtype=str)],
+                        dtype=np.int64)
+    # --- JSON family (reference: operator/scalar/JsonFunctions) ---
+    if fn in ("json_extract", "json_extract_scalar", "json_array_length",
+              "json_size", "json_format"):
+        import json
+
+        def parse(v):
+            try:
+                return json.loads(v)
+            except Exception:  # noqa: BLE001 — malformed json -> NULL
+                return None
+
+        def jpath(doc, path):
+            # $.a.b[0] subset of JsonPath (the common analytics usage)
+            if doc is None or not path.startswith("$"):
+                return None
+            cur = doc
+            for m in re.finditer(r"\.([A-Za-z_][\w]*)|\[(\d+)\]", path):
+                if cur is None:
+                    return None
+                if m.group(1) is not None:
+                    cur = cur.get(m.group(1)) if isinstance(cur, dict) else None
+                else:
+                    i = int(m.group(2))
+                    cur = cur[i] if isinstance(cur, list) and i < len(cur) \
+                        else None
+            return cur
+
+        docs = [parse(v) for v in np.asarray(args[0], dtype=str)]
+        if fn == "json_format":
+            return np.array([json.dumps(d) if d is not None else ""
+                             for d in docs], dtype=str)
+        if fn == "json_array_length":
+            return np.array([len(d) if isinstance(d, list) else -1
+                             for d in docs], dtype=np.int64)
+        path = args[1]
+        vals = [jpath(d, path) for d in docs]
+        if fn == "json_size":
+            return np.array([len(v) if isinstance(v, (dict, list)) else 0
+                             for v in vals], dtype=np.int64)
+        if fn == "json_extract":
+            return np.array([json.dumps(v) if v is not None else ""
+                             for v in vals], dtype=str)
+        # json_extract_scalar: scalars only, as text
+        return np.array(
+            [("" if v is None or isinstance(v, (dict, list))
+              else (json.dumps(v) if isinstance(v, bool) else str(v)))
+             for v in vals], dtype=str)
+    # --- URL family (reference: operator/scalar/UrlFunctions) ---
+    if fn.startswith("url_"):
+        from urllib.parse import quote, unquote, urlparse
+
+        vals = np.asarray(args[0], dtype=str)
+        if fn == "url_encode":
+            return np.array([quote(v, safe="") for v in vals], dtype=str)
+        if fn == "url_decode":
+            return np.array([unquote(v) for v in vals], dtype=str)
+        parts = [urlparse(v) for v in vals]
+        if fn == "url_extract_host":
+            return np.array([p.hostname or "" for p in parts], dtype=str)
+        if fn == "url_extract_path":
+            return np.array([p.path for p in parts], dtype=str)
+        if fn == "url_extract_protocol":
+            return np.array([p.scheme for p in parts], dtype=str)
+        if fn == "url_extract_query":
+            return np.array([p.query for p in parts], dtype=str)
+        if fn == "url_extract_fragment":
+            return np.array([p.fragment for p in parts], dtype=str)
+        if fn == "url_extract_port":
+            return np.array([p.port if p.port is not None else -1
+                             for p in parts], dtype=np.int64)
     if fn == "=":
         return np.asarray(args[0]) == args[1] if np.ndim(args[0]) else args[0] == np.asarray(args[1])
     if fn == "<>":

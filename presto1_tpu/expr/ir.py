@@ -142,10 +142,29 @@ def infer_type(fn: str, args) -> SqlType:
         return t
     if fn == "neg":
         return args[0].type
-    if fn in ("extract_year", "extract_month", "length"):
+    if fn in ("extract_year", "extract_month", "length", "strpos",
+              "codepoint", "json_array_length", "json_size",
+              "url_extract_port", "regexp_count", "levenshtein_distance"):
         return BIGINT
-    if fn in ("upper", "lower", "trim", "concat"):
+    if fn in ("upper", "lower", "trim", "concat", "replace", "reverse",
+              "ltrim", "rtrim", "lpad", "rpad", "split_part", "chr",
+              "regexp_extract", "regexp_replace", "json_extract",
+              "json_extract_scalar", "json_format", "url_extract_host",
+              "url_extract_path", "url_extract_protocol",
+              "url_extract_query", "url_extract_fragment", "url_encode",
+              "url_decode", "to_hex", "md5", "sha256", "normalize"):
         return VARCHAR
+    if fn in ("starts_with", "regexp_like", "is_nan", "is_finite",
+              "is_infinite"):
+        return BOOLEAN
+    if fn in ("sin", "cos", "tan", "asin", "acos", "atan", "atan2",
+              "sinh", "cosh", "tanh", "degrees", "radians", "cbrt",
+              "truncate", "log"):
+        return DOUBLE
+    if fn == "sign":
+        return BIGINT if args[0].type.kind in (
+            "bigint", "integer", "smallint", "tinyint", "decimal") \
+            else args[0].type
     if fn in ("abs", "negate"):
         return args[0].type
     if fn in ("floor", "ceil"):

@@ -130,6 +130,9 @@ def distributed_group_aggregate(
         out_specs=P(axis),
     )
     partials = jax.jit(smapped)(sharded)  # each value: [n_dev * max_groups]
+    # finish the collective program before any other launches (interleaved
+    # collective rendezvous deadlock on shared device threads)
+    jax.block_until_ready(partials)
 
     # final combine on replicated partial tables
     fcols = {}

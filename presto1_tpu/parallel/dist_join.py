@@ -180,6 +180,10 @@ def distributed_hash_join(
         out_specs=P(axis),
     )
     data, validity, counts, dropped = jax.jit(smapped)(parr, barr)
+    # barrier: two collective programs in flight can interleave their
+    # rendezvous on the shared device threads and deadlock (observed on
+    # the 8-device CPU mesh) — finish this stage before anything else
+    jax.block_until_ready((data, validity, counts, dropped))
     total_dropped = int(jnp.sum(dropped))
     if total_dropped:
         raise RuntimeError(
@@ -244,6 +248,7 @@ def broadcast_hash_join(
         out_specs=P(axis),
     )
     data, validity, counts = jax.jit(smapped)(parr, bcols)
+    jax.block_until_ready((data, validity, counts))
     return _stitch(data, validity, counts, pmeta, bmeta, kind,
                    local_capacity, n_dev)
 

@@ -1067,10 +1067,37 @@ class ExprConverter:
         "abs", "floor", "ceil", "round", "sqrt", "power", "pow", "mod",
         "nullif", "greatest", "least", "length", "upper", "lower", "trim",
         "concat", "coalesce", "ln", "exp", "log2", "log10",
+        # math breadth (operator/scalar/MathFunctions.java)
+        "sin", "cos", "tan", "asin", "acos", "atan", "atan2", "sinh",
+        "cosh", "tanh", "cbrt", "degrees", "radians", "sign", "truncate",
+        "log", "is_nan", "is_finite", "is_infinite",
+        # string breadth (operator/scalar/StringFunctions.java)
+        "replace", "reverse", "ltrim", "rtrim", "lpad", "rpad", "strpos",
+        "starts_with", "split_part", "codepoint", "levenshtein_distance",
+        "to_hex", "md5", "sha256",
+        # regex (operator/scalar/JoniRegexpFunctions.java)
+        "regexp_like", "regexp_extract", "regexp_replace", "regexp_count",
+        # json (operator/scalar/JsonFunctions.java)
+        "json_extract", "json_extract_scalar", "json_array_length",
+        "json_size", "json_format",
+        # url (operator/scalar/UrlFunctions.java)
+        "url_extract_host", "url_extract_path", "url_extract_protocol",
+        "url_extract_query", "url_extract_fragment", "url_extract_port",
+        "url_encode", "url_decode",
     }
 
     def _c_FuncCall(self, e: ast.FuncCall) -> ir.Expr:
-        name = {"pow": "power"}.get(e.name, e.name)
+        name = {"pow": "power", "position": "strpos"}.get(e.name, e.name)
+        if name == "substr" and len(e.args) >= 2:
+            return self.convert(ast.Substring(
+                e.args[0], e.args[1],
+                e.args[2] if len(e.args) > 2 else None))
+        if not e.args and name in ("pi", "e", "nan", "infinity"):
+            import math
+
+            val = {"pi": math.pi, "e": math.e, "nan": float("nan"),
+                   "infinity": float("inf")}[name]
+            return ir.Literal(val, DOUBLE)
         if name in self.SCALAR_FNS:
             args = [self.convert(a) for a in e.args]
             if name == "coalesce":
