@@ -122,14 +122,25 @@ class Engine:
                 plan = self.plan(sql, user=user)
                 mem = self._memory_context()
                 try:
-                    out = Executor(
+                    ex = Executor(
                         self.catalog, stats=stats, memory=mem,
                         dynamic_filtering=self.session.get(
                             "enable_dynamic_filtering"),
                         spill_threshold=(
                             self.session.get("spill_threshold")
                             if self.session.get("spill_enabled") else 0),
-                    ).execute(plan)
+                    )
+                    out = ex.execute(plan)
+                    # eager-mode traced guards (wide-decimal sum overflow):
+                    # the compiled path ANDs these inside the fragment
+                    for chk in ex.overflow_checks:
+                        if not bool(chk):
+                            raise ArithmeticError(
+                                "aggregate overflow: a decimal sum "
+                                "exceeded the 18-digit device decimal "
+                                "(reference raises on decimal(38) "
+                                "overflow too) — cast to double or "
+                                "reduce the scale")
                 finally:
                     if mem is not None:
                         mem.release_all()

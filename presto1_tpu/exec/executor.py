@@ -258,6 +258,7 @@ class Executor:
         ]
         if not node.group:
             return global_aggregate(aggs, child.num_rows, child.capacity(),
+                                    checks=self.overflow_checks,
                                     mask=mask)
         primary = node.primary or node.group
         keys = [(s, child[s]) for s in primary]
@@ -279,7 +280,8 @@ class Executor:
             max_groups = max(max_groups, rec.get("max_groups", 0))
             rec["max_groups"] = max_groups
         out = group_aggregate(keys, aggs, child.num_rows, ranges, max_groups,
-                              mask=mask, carry=carry)
+                              mask=mask, carry=carry,
+                              checks=self.overflow_checks)
         return self._shrink(out)
 
     def _dynamic_filter(self, rec: dict, lb: RecordBatch, rb: RecordBatch,
@@ -670,7 +672,8 @@ class Executor:
                 if span > d.num_rows:
                     break
             mg = round_capacity(max(min(int(d.num_rows), span), 1))
-            out = group_aggregate(keys, aggs, d.num_rows, pr, mg, carry=carry)
+            out = group_aggregate(keys, aggs, d.num_rows, pr, mg, carry=carry,
+                                  checks=self.overflow_checks)
             outs.append(spill(self._shrink(out)))
         return self._shrink(unspill(concat_spilled(outs)))
 

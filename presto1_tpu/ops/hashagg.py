@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..batch import Column, RecordBatch
-from ..types import BIGINT, DOUBLE, DecimalType, SqlType
+from ..types import BIGINT, DOUBLE, REAL, DecimalType, SqlType
 from .common import INT64_MAX, iota, pack_key_words
 from .segments import (
     _scatter_ok, compact_indices, minmax_by_value_sort, segment_bounds,
@@ -54,12 +54,36 @@ class AggSpec:
             return DOUBLE
         if self.fn == "sum":
             if t.kind == "decimal":
-                s = t.scale  # type: ignore[attr-defined]
-                return DecimalType(38, s) if s <= 4 else DOUBLE
-            if t.kind == "integer":
+                # exact at every scale (reference: Decimals.java sums at
+                # decimal(38,s)); the device repr is an 18-digit int64, so
+                # sums that cannot be PROVEN in-range carry a traced
+                # overflow guard instead of degrading to DOUBLE
+                return DecimalType(38, t.scale)  # type: ignore[attr-defined]
+            if t.kind in ("integer", "smallint", "tinyint"):
                 return BIGINT
+            if t.kind == "real":
+                return REAL
             return t
         return t  # min/max
+
+
+def _sum_provably_safe(t, n_rows: int) -> bool:
+    """True when an int64 accumulator cannot overflow: worst-case unscaled
+    magnitude (10^precision, capped at the 18-digit device repr) times the
+    row capacity stays under 2^62."""
+    p = getattr(t, "precision", 18)
+    return (10 ** min(p, 18)) * max(n_rows, 1) < (1 << 62)
+
+
+def _guard_limb_total(slo, shi, checks):
+    """Exact int64 total from 32-bit limb sums; appends a traced guard
+    that the mathematical total fits the device decimal (the executor's
+    overflow_checks mechanism raises host-side)."""
+    if checks is not None:
+        approx = (shi.astype(jnp.float64) * 4294967296.0
+                  + slo.astype(jnp.float64))
+        checks.append(jnp.all(jnp.abs(approx) < 9.0e18))
+    return shi * _LIMB + slo
 
 
 def _group_structure(key_words, max_groups: int, payload=()):
@@ -149,6 +173,12 @@ def _collect_plans(aggs):
             lo_ix = req(vals64 & _LIMB_MASK)
             hi_ix = req(vals64 >> 32)
             plans.append((spec, "limb", (lo_ix, hi_ix, cnt_ix)))
+        elif (out_t.kind == "decimal"
+              and not _sum_provably_safe(t, vals64.shape[0])):
+            # exact wide-decimal sum: limb accumulation + overflow guard
+            lo_ix = req(vals64 & _LIMB_MASK)
+            hi_ix = req(vals64 >> 32)
+            plans.append((spec, "limb_exact", (lo_ix, hi_ix, cnt_ix)))
         else:
             ix = req(vals64)
             plans.append((spec, "isum", (ix, cnt_ix)))
@@ -157,7 +187,7 @@ def _collect_plans(aggs):
 
 
 def _finalize_aggs(plans, sums, fsums, starts, ends, order, key_words,
-                   max_groups):
+                   max_groups, checks=None):
     base_cnt = (ends - starts).astype(jnp.int64)
 
     def cnt_of(cnt_ix):
@@ -212,6 +242,14 @@ def _finalize_aggs(plans, sums, fsums, starts, ends, order, key_words,
                 v = total / scale
             out[spec.name] = Column(v, DOUBLE, validity=nonempty)
             continue
+        if kind == "limb_exact":
+            lo_ix, hi_ix, cnt_ix = payload
+            cnt = cnt_of(cnt_ix)
+            nonempty = cnt > 0
+            total = _guard_limb_total(sums[:, lo_ix], sums[:, hi_ix],
+                                      checks)
+            out[spec.name] = Column(total, out_t, validity=nonempty)
+            continue
         # isum
         ix, cnt_ix = payload
         cnt = cnt_of(cnt_ix)
@@ -229,8 +267,13 @@ def group_aggregate(
     max_groups: int,
     mask: Optional[jnp.ndarray] = None,
     carry: Sequence[Tuple[str, Column]] = (),
+    checks: Optional[list] = None,
 ) -> RecordBatch:
     """Grouped aggregation.  ``mask`` fuses an upstream filter for free.
+
+    ``checks`` (the executor's overflow_checks list) receives traced
+    guards for wide-decimal sums that cannot be statically proven to fit
+    the int64 device decimal.
 
     ``carry`` columns are functionally dependent on the keys (the optimizer
     proves this via PK/FK analysis): they are not packed or compared, just
@@ -252,7 +295,8 @@ def group_aggregate(
     if (not pctl_specs and dense_domain <= DENSE_MAX_GROUPS
             and dense_domain <= max_groups):
         return _dense_group_aggregate(keys, aggs, num_rows, ranges,
-                                      max_groups, dense_domain, mask, carry)
+                                      max_groups, dense_domain, mask, carry,
+                                      checks)
     words = pack_key_words(key_cols, ranges, num_rows, mask=mask)
     int_cols, float_cols, plans = _collect_plans(aggs)
     payload = tuple(int_cols) + tuple(float_cols)
@@ -276,7 +320,7 @@ def group_aggregate(
     out.update(rep_cols)
     # key columns of dead slots are garbage but num_rows masks them
     agg_out = _finalize_aggs(plans, sums, fsums, starts, ends, order,
-                             words, max_groups)
+                             words, max_groups, checks)
     for name, col in agg_out.items():
         if col.validity is not None:
             col = col.with_data(col.data, col.validity & group_live)
@@ -332,6 +376,7 @@ def global_aggregate(
     num_rows,
     capacity: int,
     mask: Optional[jnp.ndarray] = None,
+    checks: Optional[list] = None,
 ) -> RecordBatch:
     """Aggregation without GROUP BY — always exactly one output row."""
     live = jnp.arange(capacity) < num_rows
@@ -370,7 +415,9 @@ def global_aggregate(
                     tot = shi.astype(jnp.float64) * 4294967296.0 + slo.astype(jnp.float64)
                     out[spec.name] = Column((tot / scale)[None], DOUBLE, validity=nonempty)
                 else:
-                    s = (shi * _LIMB + slo)
+                    guards = (None if _sum_provably_safe(t, capacity)
+                              else checks)
+                    s = _guard_limb_total(slo, shi, guards)
                     out[spec.name] = Column(s[None], out_t, validity=nonempty)
         elif spec.fn in ("min", "max"):
             if t.np_dtype.kind == "f":
@@ -434,7 +481,7 @@ def pack_dense_word(key_cols, ranges, num_rows, mask):
 
 
 def _dense_group_aggregate(keys, aggs, num_rows, ranges, max_groups,
-                           span, mask, carry):
+                           span, mask, carry, checks=None):
     """Sort-free aggregation over a dense key domain.
 
     The mixed-radix key word IS the group id; each of the <=32 candidate
@@ -485,6 +532,11 @@ def _dense_group_aggregate(keys, aggs, num_rows, ranges, max_groups,
         out_t = spec.output_type()
         if fn == "avg" or out_t.kind == "double":
             plans.append((spec, "limb",
+                          (req(vals64 & _LIMB_MASK), req(vals64 >> 32),
+                           cnt_ix)))
+        elif (out_t.kind == "decimal"
+              and not _sum_provably_safe(t, vals64.shape[0])):
+            plans.append((spec, "limb_exact",
                           (req(vals64 & _LIMB_MASK), req(vals64 >> 32),
                            cnt_ix)))
         else:
@@ -589,6 +641,15 @@ def _dense_group_aggregate(keys, aggs, num_rows, ranges, max_groups,
             else:
                 v = total / scale
             out[spec.name] = Column(v, DOUBLE, validity=nonempty)
+            continue
+        if kind == "limb_exact":
+            lo_ix, hi_ix, cnt_ix = payload
+            cnt = cnt_of(cnt_ix)
+            nonempty = (cnt > 0) & group_live
+            total = _guard_limb_total(isums_c[:, lo_ix], isums_c[:, hi_ix],
+                                      checks)
+            out[spec.name] = Column(total, spec.output_type(),
+                                    validity=nonempty)
             continue
         ix, cnt_ix = payload
         cnt = cnt_of(cnt_ix)
