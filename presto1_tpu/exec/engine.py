@@ -560,6 +560,10 @@ class Engine:
                     # semantics stay on the local operator
                 out = distributed_global_aggregate(
                     mesh, specs, below.num_rows, mask=mask)
+                if int(out.num_rows) == 0:
+                    # every row masked out: SQL still wants ONE row of
+                    # NULL/0 — the local operator implements that edge
+                    return None
                 stages["global_aggs"] += 1
                 return RecordBatch(out.columns, int(out.num_rows))
             primary = node.primary or node.group

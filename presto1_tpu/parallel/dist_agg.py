@@ -78,9 +78,11 @@ def distributed_group_aggregate(
                 [data, jnp.zeros((pad,) + data.shape[1:], data.dtype)])
         return jax.device_put(data, NamedSharding(mesh, P(axis)))
 
-    sharded: Dict[str, jnp.ndarray] = {
-        name: _shard(c.data) for name, c in columns.items()
-    }
+    sharded: Dict[str, jnp.ndarray] = {}
+    for name, c in columns.items():
+        sharded[name] = _shard(c.data)
+        if c.validity is not None:
+            sharded["__v_" + name] = _shard(c.validity)
     if mask is not None:
         sharded["__mask"] = _shard(mask)
     shard_rows = (cap + pad) // n_dev
@@ -92,8 +94,9 @@ def distributed_group_aggregate(
         local_mask = arrays.pop("__mask", None)
         cols = {
             name: Column(arrays[name], types[name][0],
+                         validity=arrays.get("__v_" + name),
                          dictionary=types[name][1])
-            for name in arrays
+            for name in arrays if not name.startswith("__v_")
         }
         # rows valid on this shard: global row index < num_rows
         base = jax.lax.axis_index(axis) * shard_rows
@@ -113,15 +116,13 @@ def distributed_group_aggregate(
         return res
 
     # evaluate partial-agg inputs up front so the shard function only sees
-    # plain arrays (inputs were already evaluated Columns)
+    # plain arrays (inputs were already evaluated Columns); validity rides
+    # along — count/sum must skip NULLs (e.g. LEFT-join padding)
     for s in partial_specs:
         if s.input is not None:
-            data = s.input.data
-            if pad:
-                data = jnp.concatenate(
-                    [data, jnp.zeros((pad,) + data.shape[1:], data.dtype)])
-            sharded[f"__agg_{s.name}"] = jax.device_put(
-                data, NamedSharding(mesh, P(axis)))
+            sharded[f"__agg_{s.name}"] = _shard(s.input.data)
+            if s.input.validity is not None:
+                sharded[f"__v___agg_{s.name}"] = _shard(s.input.validity)
             types[f"__agg_{s.name}"] = (s.input.type, s.input.dictionary)
 
     smapped = shard_map(
