@@ -139,14 +139,83 @@ class Fragment:
     path: Tuple[int, ...]     # stub path in the coordinator plan
     plan: L.LogicalNode       # worker fragment plan
     table: str                # sharded table (split source)
+    # FIXED_HASH output: partition the task's output by these key symbols
+    # into n_parts destination buffers (PartitionedOutputBuffer analog);
+    # None = single buffer pulled by the coordinator
+    partition_keys: Optional[List[str]] = None
 
 
-def fragment_plan(plan: L.LogicalNode):
+@dataclass
+class ExchangeStage:
+    """A worker-side stage consuming other tasks' partitioned buffers —
+    the worker-to-worker data plane (ExchangeClient + PartitionedOutput).
+
+    One stage-2 task runs per partition p; its stub at ``source_paths[i]``
+    is the concatenation of every upstream task's buffer p."""
+
+    path: Tuple[int, ...]          # stub path in the coordinator plan
+    plan: L.LogicalNode            # stage-2 fragment
+    source_paths: List[Tuple[int, ...]]  # stub paths inside `plan`
+    upstreams: List[Fragment]      # parallel to source_paths
+
+
+def _plain_symbols(equis) -> Optional[Tuple[List[str], List[str]]]:
+    lks, rks = [], []
+    for a, b in equis:
+        if not (isinstance(a, ir.ColumnRef) and isinstance(b, ir.ColumnRef)):
+            return None
+        lks.append(a.name)
+        rks.append(b.name)
+    return lks, rks
+
+
+def fragment_exchange_join(plan: L.LogicalNode):
+    """Find the deepest equi-join whose children are scan chains and cut
+    it into a worker-to-worker exchange stage: both children become
+    FIXED_HASH-partitioned fragments, the join runs on workers (one task
+    per partition), and the coordinator only unions final join pages.
+
+    Returns (stage, remaining-plan-with-stub-path) or (None, plan)."""
+    found: List[Tuple[Tuple[int, ...], L.Join]] = []
+
+    def visit(node, path):
+        for i, c in enumerate(node.children):
+            visit(c, path + (i,))
+        if (isinstance(node, L.Join)
+                and node.kind in ("inner", "left", "semi", "anti")
+                and node.equis and node.residual is None
+                and _is_scan_chain(node.left)
+                and _is_scan_chain(node.right)
+                and _plain_symbols(node.equis) is not None):
+            found.append((path, node))
+
+    visit(plan, ())
+    if not found:
+        return None, plan
+    path, node = max(found, key=lambda t: len(t[0]))  # deepest
+    lks, rks = _plain_symbols(node.equis)
+
+    def scan_table(n):
+        while not isinstance(n, L.Scan):
+            n = n.children[0]
+        return n.table
+
+    left_frag = Fragment(path + (0,), node.left, scan_table(node.left),
+                         partition_keys=lks)
+    right_frag = Fragment(path + (1,), node.right, scan_table(node.right),
+                          partition_keys=rks)
+    stage = ExchangeStage(path, node, [(0,), (1,)],
+                          [left_frag, right_frag])
+    return stage, plan
+
+
+def fragment_plan(plan: L.LogicalNode, exclude: Optional[Tuple[int, ...]] = None):
     """Cut the plan: returns (coordinator_plan, fragments).
 
     Every maximal scan-chain subtree becomes a worker fragment; if an
     Aggregate sits directly on a scan chain, the fragment runs the partial
     aggregation and the coordinator node is replaced by final(+assemble).
+    ``exclude`` marks a subtree already claimed by an exchange stage.
     """
     fragments: List[Fragment] = []
 
@@ -156,6 +225,8 @@ def fragment_plan(plan: L.LogicalNode):
         return node.table
 
     def visit(node: L.LogicalNode, path: Tuple[int, ...]) -> L.LogicalNode:
+        if exclude is not None and path == exclude:
+            return node  # stubbed by the exchange stage
         if isinstance(node, L.Aggregate) and _is_scan_chain(node.child):
             split = split_aggregate(node)
             if split is not None:
@@ -188,9 +259,12 @@ class RemoteTaskClient:
         self.task_id = task_id
         self.backoff = Backoff()
 
-    def create(self, fragment_json: dict, shard: dict) -> None:
-        body = json.dumps({"fragment": fragment_json,
-                           "shard": shard}).encode()
+    def create(self, fragment_json: dict, shard: Optional[dict],
+               sources: Optional[dict] = None,
+               partitioning: Optional[dict] = None) -> None:
+        body = json.dumps({"fragment": fragment_json, "shard": shard,
+                           "sources": sources,
+                           "output_partitioning": partitioning}).encode()
         self._rpc("POST", f"/v1/task/{self.task_id}", body)
 
     def fetch_pages(self) -> List[bytes]:
@@ -252,9 +326,11 @@ class MultiHostEngine:
         q = sql_parser.parse(sql)
         return optimize(Planner(self.catalog).plan(q), self.catalog)
 
-    def sql(self, sql: str):
+    def sql(self, sql: str, info: Optional[dict] = None):
         plan = self.plan(sql)
-        coord_plan, fragments = fragment_plan(plan)
+        stage, _ = fragment_exchange_join(plan)
+        coord_plan, fragments = fragment_plan(
+            plan, exclude=stage.path if stage else None)
         nodes = self.registry.active_nodes()
         if not nodes:
             raise QueryFailed("no active worker nodes")
@@ -264,25 +340,82 @@ class MultiHostEngine:
         errors: List[Exception] = []
         results: Dict[Tuple[Tuple[int, ...], int], List[bytes]] = {}
         lock = threading.Lock()
+        metrics = {"coordinator_bytes": 0, "exchange_tasks": 0,
+                   "stage1_tasks": 0}
 
-        def run_task(frag: Fragment, shard_idx: int, node):
+        def run_task(frag_path, frag_json, shard, node, sources=None,
+                     partitioning=None, pull=True, shard_idx=0):
             try:
                 client = RemoteTaskClient(node, uuid.uuid4().hex[:16])
-                client.create(plan_to_json(frag.plan),
-                              {"index": shard_idx, "count": n_shards})
-                pages = client.fetch_pages()
-                with lock:
-                    results[(frag.path, shard_idx)] = pages
+                client.create(frag_json, shard, sources=sources,
+                              partitioning=partitioning)
+                if pull:
+                    pages = client.fetch_pages()
+                    with lock:
+                        results[(frag_path, shard_idx)] = pages
+                        metrics["coordinator_bytes"] += sum(
+                            len(p) for p in pages)
+                return client
             except Exception as e:  # noqa: BLE001 — collected, fails query
                 with lock:
                     errors.append(e)
+                return None
 
+        # ---- stage 1: the exchange stage's upstream fragments (FIXED_HASH
+        # partitioned output buffers) — created, never pulled by us
+        stage_handles: List[List[Tuple[str, str]]] = []  # per upstream
+        if stage is not None:
+            for frag in stage.upstreams:
+                handles = []
+                for shard_idx in range(n_shards):
+                    node = nodes[shard_idx % len(nodes)]
+                    client = run_task(
+                        None, plan_to_json(frag.plan),
+                        {"index": shard_idx, "count": n_shards}, node,
+                        partitioning={"keys": frag.partition_keys,
+                                      "count": n_shards},
+                        pull=False)
+                    if client is not None:
+                        handles.append((node.uri, client.task_id))
+                    metrics["stage1_tasks"] += 1
+                stage_handles.append(handles)
+        if errors:
+            raise QueryFailed(str(errors[0]))
+
+        # ---- stage 2: one worker task per partition consumes buffer p of
+        # every upstream task directly over DCN (worker-to-worker; the
+        # coordinator only sees the joined result)
+        if stage is not None:
+            frag_json = plan_to_json(stage.plan)
+            for p in range(n_shards):
+                node = nodes[p % len(nodes)]
+                sources = {}
+                for spath, handles in zip(stage.source_paths, stage_handles):
+                    key = ",".join(str(x) for x in spath)
+                    sources[key] = [
+                        {"uri": uri, "task": tid, "buffer": p}
+                        for uri, tid in handles
+                    ]
+                t = threading.Thread(
+                    target=run_task,
+                    args=(stage.path, frag_json, None, node),
+                    kwargs={"sources": sources, "pull": True,
+                            "shard_idx": p},
+                    daemon=True)
+                t.start()
+                threads.append(t)
+                metrics["exchange_tasks"] += 1
+
+        # ---- legacy single-hop fragments (scan chains, partial aggs)
         for frag in fragments:
             for shard_idx in range(n_shards):
                 node = nodes[shard_idx % len(nodes)]
-                t = threading.Thread(target=run_task,
-                                     args=(frag, shard_idx, node),
-                                     daemon=True)
+                t = threading.Thread(
+                    target=run_task,
+                    args=(frag.path, plan_to_json(frag.plan),
+                          {"index": shard_idx, "count": n_shards}, node),
+                    kwargs={"pull": True, "shard_idx": shard_idx},
+                    daemon=True)
                 t.start()
                 threads.append(t)
         for t in threads:
@@ -290,24 +423,28 @@ class MultiHostEngine:
         if errors:
             raise QueryFailed(str(errors[0]))
 
-        for frag in fragments:
+        stub_specs = [(f.path, f.plan) for f in fragments]
+        if stage is not None:
+            stub_specs.append((stage.path, stage.plan))
+        for path, frag_plan in stub_specs:
             batches = []
             for shard_idx in range(n_shards):
-                for page in results.get((frag.path, shard_idx), []):
+                for page in results.get((path, shard_idx), []):
                     batches.append(deserialize_batch(page))
             merged = concat_batches(batches)
             if merged is None:
                 from ..batch import RecordBatch
-                import numpy as np
                 import jax.numpy as jnp
                 from ..batch import Column
 
                 cols = {}
-                for s, t in frag.plan.schema.items():
+                for s, t in frag_plan.schema.items():
                     cols[s] = Column(jnp.zeros(128, dtype=t.np_dtype), t)
                 merged = RecordBatch(cols, 0)
-            stubs[frag.path] = merged
+            stubs[path] = merged
 
+        if info is not None:
+            info.update(metrics)
         return Executor(self.catalog, stubs=stubs).execute(coord_plan)
 
     def sql_pandas(self, sql: str):

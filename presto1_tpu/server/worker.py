@@ -52,14 +52,144 @@ class WorkerTask:
         self.id = task_id
         self.state = TaskState.RUNNING
         self.error: Optional[str] = None
-        self.pages: list = []  # serialized pages (bytes)
+        # output buffers partitioned by destination (the reference's
+        # PartitionedOutputBuffer / ClientBuffer family): buffers[p] is the
+        # page list served to downstream consumer p; unpartitioned tasks
+        # have exactly one buffer
+        self.buffers: list = [[]]
+        self.bytes_in = 0   # pages pulled from upstream tasks (DCN)
+        self.bytes_out = 0  # pages served to consumers
         self.created = time.time()
         self.heartbeat = time.time()
         self.done = threading.Event()
 
+    @property
+    def pages(self) -> list:  # legacy single-buffer view
+        return self.buffers[0]
+
     def info(self) -> dict:
         return {"taskId": self.id, "state": self.state, "error": self.error,
-                "pages": len(self.pages)}
+                "pages": sum(len(b) for b in self.buffers),
+                "buffers": len(self.buffers),
+                "bytesIn": self.bytes_in, "bytesOut": self.bytes_out}
+
+
+def _paginate(out, lo0: int, n: int) -> list:
+    """Serialize rows [lo0, n) into bounded pages (idempotent token
+    fetches)."""
+    from ..batch import RecordBatch
+    from ..exec.pages import serialize_batch
+
+    pages = []
+    for lo in range(lo0, max(n, lo0 + 1), PAGE_MAX_ROWS):
+        hi = min(lo + PAGE_MAX_ROWS, n)
+        cols = {
+            name: c.with_data(
+                c.data[lo:hi],
+                c.validity[lo:hi] if c.validity is not None else None)
+            for name, c in out.columns.items()
+        }
+        pages.append(serialize_batch(RecordBatch(cols, max(hi - lo, 0))))
+        if hi >= n:
+            break
+    return pages
+
+
+def _key_hash_host(batch, n: int, keys) -> "np.ndarray":
+    """Deterministic cross-host row hash of the key columns.
+
+    Dictionary-coded strings hash by VALUE (each worker's dictionary is
+    local, so codes are not comparable across hosts); numerics by their
+    int64 bits.  Must be identical on every host — it routes co-partitioned
+    rows to the same downstream task (PartitionFunction analog,
+    ``operator/PartitionedOutputOperator.java:406``)."""
+    import hashlib
+
+    import numpy as np
+
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    h = np.zeros(n, np.uint64)
+    for name in keys:
+        c = batch[name]
+        data = np.asarray(c.data[:n])
+        if c.dictionary is not None:
+            dvals = np.array(
+                [int.from_bytes(hashlib.md5(str(s).encode()).digest()[:8],
+                                "little")
+                 for s in c.dictionary], dtype=np.uint64)
+            if len(dvals):
+                v = dvals[np.clip(data, 0, len(dvals) - 1)]
+            else:
+                v = np.zeros(n, np.uint64)
+        elif data.dtype.kind == "f":
+            v = data.astype(np.float64).view(np.uint64)
+        else:
+            v = data.astype(np.int64).view(np.uint64)
+        if c.validity is not None:
+            v = np.where(np.asarray(c.validity[:n]), v, np.uint64(0))
+        h = h * np.uint64(0x100000001B3) + ((v * mix) >> np.uint64(33))
+    return h
+
+
+def _partition_output(out, n: int, keys, count: int) -> list:
+    """Hash-partition the task output into ``count`` destination buffers
+    (PartitionedOutputBuffer).  Runs host-side: the pages are serialized
+    to the host anyway, and the hash must be cross-host deterministic."""
+    import numpy as np
+
+    from ..batch import Column, RecordBatch
+
+    if n == 0:
+        return [_paginate(out, 0, 0) for _ in range(count)]
+    part = (_key_hash_host(out, n, keys) % np.uint64(count)).astype(np.int64)
+    buffers = []
+    import jax.numpy as jnp
+
+    host_cols = {name: (np.asarray(c.data[:n]),
+                        None if c.validity is None
+                        else np.asarray(c.validity[:n]))
+                 for name, c in out.columns.items()}
+    for p in range(count):
+        sel = part == p
+        cols = {}
+        for name, (data, validity) in host_cols.items():
+            c = out[name]
+            cols[name] = Column(
+                jnp.asarray(data[sel]), c.type,
+                validity=None if validity is None
+                else jnp.asarray(validity[sel]),
+                dictionary=c.dictionary)
+        buffers.append(_paginate(RecordBatch(cols, int(sel.sum())),
+                                 0, int(sel.sum())))
+    return buffers
+
+
+def _fetch_sources(locations) -> tuple:
+    """Pull and merge all upstream pages for one stub (ExchangeClient):
+    token-acked long-poll loop per location, then one concat."""
+    from ..exec.pages import concat_batches, deserialize_batch
+
+    batches = []
+    nbytes = 0
+    for loc in locations:
+        token = 0
+        while True:
+            url = (f"{loc['uri']}/v1/task/{loc['task']}/results/"
+                   f"{loc['buffer']}/{token}")
+            req = urlrequest.Request(url, method="GET")
+            with urlrequest.urlopen(req, timeout=60) as resp:
+                data = resp.read()
+                headers = dict(resp.headers)
+            if headers.get("X-P1-Buffer-Complete") == "true":
+                break
+            if headers.get("X-P1-Page-Present") == "true":
+                nbytes += len(data)
+                batches.append(deserialize_batch(data))
+                token += 1
+    merged = concat_batches(batches)
+    if merged is None:
+        raise RuntimeError("remote source produced no pages")
+    return merged, nbytes
 
 
 def _make_catalog(spec: str):
@@ -114,25 +244,25 @@ class WorkerRuntime:
             if shard is not None:
                 catalog = ShardedCatalog(catalog, shard["index"],
                                          shard["count"])
-            out = Executor(catalog).execute(plan)
+            # remote sources: this task consumes other tasks' partitioned
+            # buffers over DCN (the ExchangeOperator/ExchangeClient side,
+            # operator/ExchangeClient.java:56) — pages land as stubs
+            stubs = {}
+            for path_str, locations in (body.get("sources") or {}).items():
+                batch, nbytes = _fetch_sources(locations)
+                task.bytes_in += nbytes
+                path = tuple(int(x) for x in path_str.split(",") if x != "")
+                stubs[path] = batch
+            out = Executor(catalog, stubs=stubs).execute(plan)
             n = out.num_rows if isinstance(out.num_rows, int) \
                 else int(out.num_rows)
-            # paginate: bounded buffers, idempotent token fetches
-            from ..batch import RecordBatch
 
-            pages = []
-            for lo in range(0, max(n, 1), PAGE_MAX_ROWS):
-                hi = min(lo + PAGE_MAX_ROWS, n)
-                cols = {
-                    name: c.with_data(
-                        c.data[lo:hi],
-                        c.validity[lo:hi] if c.validity is not None else None)
-                    for name, c in out.columns.items()
-                }
-                pages.append(serialize_batch(RecordBatch(cols, hi - lo)))
-                if hi >= n:
-                    break
-            task.pages = pages
+            part = body.get("output_partitioning")
+            if part is not None:
+                task.buffers = _partition_output(out, n, part["keys"],
+                                                 int(part["count"]))
+            else:
+                task.buffers = [_paginate(out, 0, n)]
             task.state = TaskState.FINISHED
         except Exception as e:  # noqa: BLE001 — reported via task status
             task.error = f"{type(e).__name__}: {e}"
@@ -209,13 +339,16 @@ class WorkerServer:
                     task.heartbeat = time.time()
                     self._send_json(200, task.info())
                     return
-                if (parts[:2] == ["v1", "task"] and len(parts) == 5
+                if (parts[:2] == ["v1", "task"] and len(parts) in (5, 6)
                         and parts[3] == "results"):
+                    # /v1/task/{id}/results/{token}            (buffer 0)
+                    # /v1/task/{id}/results/{buffer}/{token}   (partitioned)
                     task = runtime.tasks.get(parts[2])
                     if task is None:
                         self._send_json(404, {"error": "unknown task"})
                         return
-                    token = int(parts[4])
+                    buffer_id = int(parts[4]) if len(parts) == 6 else 0
+                    token = int(parts[5] if len(parts) == 6 else parts[4])
                     # long-poll up to 10s; a still-running task answers with
                     # an EMPTY non-complete response and the client re-polls
                     # the same token (HttpPageBufferClient's token protocol:
@@ -229,9 +362,13 @@ class WorkerServer:
                         self._send_json(500, {"error": task.error})
                         return
                     running = task.state == TaskState.RUNNING
-                    complete = (not running) and token >= len(task.pages)
-                    has_page = (not running) and token < len(task.pages)
-                    body = task.pages[token] if has_page else b""
+                    buf = ([] if running or buffer_id >= len(task.buffers)
+                           else task.buffers[buffer_id])
+                    complete = (not running) and token >= len(buf)
+                    has_page = (not running) and token < len(buf)
+                    body = buf[token] if has_page else b""
+                    if has_page:
+                        task.bytes_out += len(body)
                     self.send_response(200)
                     self.send_header("Content-Type",
                                      "application/x-p1-pages")

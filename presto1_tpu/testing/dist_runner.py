@@ -101,6 +101,11 @@ class MultiHostRunner:
         repo_root = os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))
         env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+        # workers share the persistent compile cache — fresh processes
+        # otherwise recompile the whole operator library per suite run
+        env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       os.path.join(repo_root, ".jax_cache_cpu"))
+        env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
         for _ in range(n_workers):
             p = subprocess.Popen(
                 [sys.executable, "-m", "presto1_tpu.server.worker",
