@@ -177,8 +177,20 @@ class Executor:
         return RecordBatch(
             {"__row__": Column(jnp.zeros((128,), jnp.int64), BIGINT)}, 1)
 
-    def _x_Scan(self, node: Scan, path: Path) -> RecordBatch:
+    def _scan_table(self, node: Scan):
+        """Resolve the (possibly domain-pruned) table for a scan.  Both
+        eager discovery and compiled input collection go through here so
+        recorded capacities always match the pruned shapes."""
         table = self.catalog.table(node.table)
+        dom = getattr(node, "domain", None)
+        if dom is not None and not dom.is_all():
+            view = table.pruned(dom)
+            if view is not None:
+                return view
+        return table
+
+    def _x_Scan(self, node: Scan, path: Path) -> RecordBatch:
+        table = self._scan_table(node)
         if self.compiled:
             cols = {}
             for c, sym in node.symbols.items():
@@ -195,7 +207,7 @@ class Executor:
         (the compiled program's inputs)."""
         out: Dict[str, jnp.ndarray] = {}
         if isinstance(node, Scan):
-            table = self.catalog.table(node.table)
+            table = self._scan_table(node)
             for c, sym in node.symbols.items():
                 out[sym] = table.column(c).data
         for child in node.children:
@@ -447,20 +459,28 @@ class Executor:
         # inner / left
         if self.compiled:
             cap = rec["capacity"]
+            stats: Dict[str, object] = {}
             out = hash_join(lb, rb, lkeys, rkeys, node.kind, ranges, cap,
-                            residual=residual,
+                            residual=residual, stats=stats,
                             build_unique=node.build_unique)
             self._check_capacity(out.num_rows, cap)
+            if residual is not None and "pairs_total" in stats:
+                # a residual join compacts AFTER expansion: the pair buffer
+                # itself must not have overflowed or rows were dropped
+                self._check_capacity(stats["pairs_total"], cap)
         else:
             if node.build_unique:
                 cap = round_capacity(max(int(lb.num_rows), 1))
             else:
                 cap = round_capacity(max(int(lb.num_rows) * 2, 128))
             while True:
+                stats = {}
                 out = hash_join(lb, rb, lkeys, rkeys, node.kind, ranges, cap,
-                                residual=residual,
+                                residual=residual, stats=stats,
                                 build_unique=node.build_unique)
                 total = int(out.num_rows)
+                if "pairs_total" in stats:
+                    total = max(total, int(stats["pairs_total"]))  # type: ignore[arg-type]
                 if total <= cap:
                     break
                 cap = round_capacity(total)
@@ -474,11 +494,13 @@ class Executor:
         from ..batch import concat_batches
         from ..sql.optimizer import _refs, _split_ir_conjuncts
 
+        cross_residual = None
         if residual is not None:
             # single-side ON conjuncts fold into key validity: ineligible
-            # rows never match but still emit null-extended (FULL semantics)
+            # rows never match but still emit null-extended (FULL semantics).
+            # cross-side conjuncts stay a residual on both directed passes.
             l_schema, r_schema = set(lb.columns), set(rb.columns)
-            lo_parts, ro_parts = [], []
+            lo_parts, ro_parts, x_parts = [], [], []
             for c in _split_ir_conjuncts(residual):
                 refs = _refs(c)
                 if refs <= l_schema and not (refs & {k for k in r_schema}):
@@ -486,8 +508,10 @@ class Executor:
                 elif refs <= r_schema:
                     ro_parts.append(c)
                 else:
-                    raise ExecError(
-                        "FULL JOIN with cross-side residual unsupported")
+                    x_parts.append(c)
+            if x_parts:
+                from ..sql.planner import ir_conjoin as _conj
+                cross_residual = _conj(x_parts)
 
             def mask_keys(batch, parts, key_names):
                 if not parts:
@@ -514,14 +538,40 @@ class Executor:
             cap_l = round_capacity(max(int(lb.num_rows) * 2, 128))
             cap_a = round_capacity(max(int(rb.num_rows), 1))
         while True:
-            pairs = hash_join(lb, rb, lkeys, rkeys, "left", ranges, cap_l)
+            stats: Dict[str, object] = {}
+            pairs = hash_join(lb, rb, lkeys, rkeys, "left", ranges, cap_l,
+                              residual=cross_residual, stats=stats)
             if self.compiled:
+                self._check_capacity(stats["pairs_total"], cap_l)
                 break
-            total = int(pairs.num_rows)
+            total = max(int(pairs.num_rows), int(stats["pairs_total"]))  # type: ignore[arg-type]
             if total <= cap_l:
                 break
             cap_l = round_capacity(total)
-        anti = hash_join(rb, lb, rkeys, lkeys, "anti", ranges, cap_a)
+        if cross_residual is None:
+            anti = hash_join(rb, lb, rkeys, lkeys, "anti", ranges, cap_a)
+        else:
+            # anti with residual expands candidate pairs internally: its
+            # buffer must hold the expansion, not just rb's rows
+            if self.compiled:
+                cap_ap = rec["anti_pairs_capacity"]
+                astats: Dict[str, object] = {}
+                anti = hash_join(rb, lb, rkeys, lkeys, "anti", ranges,
+                                 cap_ap, residual=cross_residual,
+                                 stats=astats)
+                self._check_capacity(astats["pairs_total"], cap_ap)
+            else:
+                cap_ap = round_capacity(max(int(rb.num_rows) * 2, 128))
+                while True:
+                    astats = {}
+                    anti = hash_join(rb, lb, rkeys, lkeys, "anti", ranges,
+                                     cap_ap, residual=cross_residual,
+                                     stats=astats)
+                    if int(astats["pairs_total"]) <= cap_ap:  # type: ignore[arg-type]
+                        break
+                    cap_ap = round_capacity(int(astats["pairs_total"]))  # type: ignore[arg-type]
+                rec["anti_pairs_capacity"] = max(
+                    cap_ap, rec.get("anti_pairs_capacity", 0))
         # null-extend the left-side columns on the anti part
         ext = dict(anti.columns)
         n_a = anti.capacity()

@@ -199,9 +199,6 @@ def hash_join(
             verify = eq if verify is None else ir_call("and", verify, eq)
         residual = verify if residual is None else ir_call(
             "and", verify, residual)
-        if kind == "left":
-            raise NotImplementedError(
-                "LEFT JOIN on >63-bit composite keys")
 
     if kind in ("semi", "anti") and residual is None:
         hit = counts > 0
@@ -230,6 +227,8 @@ def hash_join(
     if kind == "inner":
         pairs, pidx, matched, out_live, _ = _expand(
             probe, build, lo, counts, counts, bperm, capacity)
+        if stats is not None:
+            stats["pairs_total"] = pairs.num_rows
         if residual is not None:
             rm = eval_predicate(residual, pairs) & out_live
             idx, n = compact_indices(rm, capacity)
@@ -237,14 +236,38 @@ def hash_join(
         return pairs
 
     if kind == "left":
-        if residual is not None:
-            raise NotImplementedError(
-                "LEFT JOIN with residual condition (push single-side "
-                "conjuncts below the join instead)")
         counts_emit = jnp.where(live, jnp.maximum(counts, 1), 0)
-        pairs, pidx, matched, out_live, _ = _expand(
+        pairs, pidx, matched, out_live, offsets = _expand(
             probe, build, lo, counts, counts_emit, bperm, capacity)
-        return pairs
+        if stats is not None:
+            stats["pairs_total"] = pairs.num_rows
+        if residual is None:
+            return pairs
+        # LEFT with residual (also: wide->63-bit keys whose candidates need
+        # re-verification).  Keep pairs that pass; a probe row with no
+        # passing pair keeps its FIRST pair slot, null-extended on the
+        # build side.  Reference analog: LookupJoinOperator's
+        # outerJoinCurrentPosition (operator/LookupJoinOperator.java) —
+        # here the "emitted a row?" flag is a segmented reduction.
+        rm = eval_predicate(residual, pairs) & matched & out_live
+        starts = jnp.clip(offsets - counts_emit, 0, capacity)
+        ends = jnp.clip(offsets, 0, capacity)
+        hits = sorted_segment_sum(rm.astype(jnp.int64), starts, ends)
+        hit_at = jnp.take(hits > 0, pidx, mode="clip")
+        start_at = jnp.take(starts, pidx, mode="clip")
+        is_first = iota(capacity) == start_at
+        keep = (rm | (is_first & ~hit_at)) & out_live
+        cols = {}
+        for name, c in pairs.columns.items():
+            if name in build.columns:
+                v = rm if c.validity is None else (c.validity & rm)
+                cols[name] = Column(c.data, c.type, validity=v,
+                                    dictionary=c.dictionary)
+            else:
+                cols[name] = c
+        masked = RecordBatch(cols, pairs.num_rows)
+        idx, n = compact_indices(keep, capacity)
+        return masked.gather(idx, n)
 
     raise NotImplementedError(f"join kind {kind}")
 
