@@ -25,6 +25,11 @@ class Table:
         self.column_order = [c for c, _ in schema]
         self._cache: Dict[str, Column] = {}
         self._ranges: Dict[str, Tuple[int, int]] = {}
+        # connector-reported statistics (reference: ConnectorMetadata
+        # getTableStatistics / plugin statistics providers): column sets
+        # guaranteed unique (primary keys), consumed by the optimizer's
+        # build-side N:1 detection instead of any hardcoded table list
+        self.unique_keys: List[Tuple[str, ...]] = []
 
     @property
     def num_rows(self) -> int:
@@ -59,6 +64,14 @@ class Table:
         cols = columns if columns is not None else self.column_order
         return RecordBatch({c: self.column(c) for c in cols}, self.num_rows)
 
+    def pruned(self, domain) -> Optional["Table"]:
+        """A cheaper view of this table containing at least every row that
+        can satisfy ``domain`` (a sql.domain.TupleDomain over column
+        names), or None when this connector has no pruning story.  The
+        reference analog is TupleDomain pushdown into
+        ConnectorMetadata.applyFilter / parquet predicate pushdown."""
+        return None
+
     def column_range(self, name: str) -> Tuple[int, int]:
         """Exact (min, max) of an integer-backed column (cached)."""
         if name not in self._ranges:
@@ -84,6 +97,9 @@ class TpchTable(Table):
         from ..tpch.schema import TABLES
 
         super().__init__(name, TABLES[name])
+        from ..tpch.schema import PRIMARY_KEYS
+
+        self.unique_keys = PRIMARY_KEYS.get(name, [])
         self.gen = gen
         self.cache_dir = cache_dir
         self._num_rows: Optional[int] = None

@@ -48,7 +48,8 @@ def _sql_type(arrow_type) -> SqlType:
 
 
 class ParquetTable(Table):
-    def __init__(self, name: str, path: str):
+    def __init__(self, name: str, path: str,
+                 row_groups: Optional[List[int]] = None):
         import pyarrow.parquet as pq
 
         self.path = path
@@ -61,16 +62,102 @@ class ParquetTable(Table):
             schema.append((field.name, t))
             self._arrow_types[field.name] = field.type
         super().__init__(name, schema)
+        self._row_groups = row_groups  # None = all (a pruned view sets it)
+        self._pruned_views: Dict[object, Optional[Table]] = {}
 
     @property
     def num_rows(self) -> int:
-        return self._pf.metadata.num_rows
+        md = self._pf.metadata
+        if self._row_groups is None:
+            return md.num_rows
+        return sum(md.row_group(g).num_rows for g in self._row_groups)
+
+    def _stat_value(self, column: str, v):
+        """Normalise a parquet statistics value to the engine's literal
+        representation for that column (DATE -> epoch days int, decimal ->
+        scaled int); None = not comparable (pruning skipped)."""
+        import datetime
+        import decimal as _dec
+
+        t = self.schema[column]
+        if v is None:
+            return None
+        if t.kind == "date":
+            if isinstance(v, datetime.datetime):
+                v = v.date()
+            if isinstance(v, datetime.date):
+                return (v - datetime.date(1970, 1, 1)).days
+            return None
+        if t.kind == "decimal":
+            if isinstance(v, _dec.Decimal):
+                return int(v.scaleb(t.scale).to_integral_value())
+            return None
+        if isinstance(v, bytes):
+            try:
+                return v.decode()
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, (bool, int, float, str)):
+            return v
+        return None
+
+    def pruned(self, domain) -> Optional[Table]:
+        """Row-group pruning on parquet statistics (reference:
+        parquet predicate pushdown, lib/trino-parquet PredicateUtils /
+        TupleDomainParquetPredicate)."""
+        if domain is None:
+            return None
+        key = domain.fingerprint()
+        if key in self._pruned_views:
+            return self._pruned_views[key]
+        md = self._pf.metadata
+        cols = [md.schema.column(i).name for i in range(md.num_columns)]
+        col_idx = {c: i for i, c in enumerate(cols)}
+        relevant = [c for c in domain.domains if c in col_idx]
+        view: Optional[Table] = None
+        if relevant and not domain.none:
+            keep = []
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                ok = True
+                for c in relevant:
+                    st = rg.column(col_idx[c]).statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo = self._stat_value(c, st.min)
+                    hi = self._stat_value(c, st.max)
+                    if lo is None or hi is None:
+                        continue
+                    nulls = bool(st.null_count) if st.null_count \
+                        is not None else True
+                    if not domain.get(c).may_match(lo, hi, nulls):
+                        ok = False
+                        break
+                if ok:
+                    keep.append(g)
+            if len(keep) < md.num_row_groups:
+                view = ParquetTable(self.name, self.path, row_groups=keep)
+                view.unique_keys = self.unique_keys
+        elif domain.none:
+            view = ParquetTable(self.name, self.path, row_groups=[])
+        self._pruned_views[key] = view
+        return view
+
+    def _read(self, column: str):
+        if self._row_groups is None:
+            return self._pf.read([column]).column(column)
+        if not self._row_groups:
+            import pyarrow as pa
+
+            return pa.chunked_array([], type=self._arrow_types[column])
+        return self._pf.read_row_groups(
+            self._row_groups, [column]).column(column)
 
     def host_column(self, column: str) -> Column:
         import pyarrow as pa
 
         t = self.schema[column]
-        arr = self._pf.read([column]).column(column)
+        arr = self._read(column)
         validity = None
         if arr.null_count:
             validity = ~np.asarray(arr.is_null())

@@ -32,6 +32,11 @@ class Scan(LogicalNode):
     table: str
     symbols: Dict[str, str]  # column name -> symbol
     schema: Dict[str, SqlType]
+    # TupleDomain over COLUMN names (not symbols), extracted from pushed
+    # predicates — connectors may use it to prune row groups / splits
+    # (reference: ConnectorTableHandle constraint / TupleDomain pushdown).
+    # Pruning is advisory: every predicate is still evaluated in full.
+    domain: Optional[object] = None
 
     def with_children(self, children):
         assert not children

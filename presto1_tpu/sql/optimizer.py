@@ -27,17 +27,6 @@ from .logical import (
 )
 from .planner import ir_conjoin
 
-# TPC-H primary keys (for build-side uniqueness hints; the reference gets
-# this from connector metadata/stats — TpchMetadata + statistics/)
-TABLE_UNIQUE_KEYS = {
-    "region": [("r_regionkey",)],
-    "nation": [("n_nationkey",)],
-    "supplier": [("s_suppkey",)],
-    "customer": [("c_custkey",)],
-    "part": [("p_partkey",)],
-    "partsupp": [("ps_partkey", "ps_suppkey")],
-    "orders": [("o_orderkey",)],
-}
 
 
 def optimize(plan: LogicalNode, catalog) -> LogicalNode:
@@ -45,7 +34,7 @@ def optimize(plan: LogicalNode, catalog) -> LogicalNode:
     plan = _pushdown(plan, [])
     plan = _reorder(plan, catalog)
     plan = _rewrite_distinct(plan)
-    plan = _reduce_group_keys(plan)
+    plan = _reduce_group_keys(plan, catalog)
     plan = _prune(plan, set(_needed_at_top(plan)))
     return plan
 
@@ -213,6 +202,19 @@ def _pushdown(node: LogicalNode, conjuncts: List[ir.Expr]) -> LogicalNode:
         return node.with_children([child])
 
     # Scan and anything else: stop here
+    if isinstance(node, Scan) and conjuncts:
+        # record the TupleDomain the pushed conjuncts imply so connectors
+        # can prune row groups / splits (AddExchanges' pushdown of
+        # TupleDomain into ConnectorTableHandle); conjuncts all stay —
+        # pruning is an over-approximation, never the filter itself
+        from .domain import domains_from_conjuncts
+
+        inv = {sym: col for col, sym in node.symbols.items()}
+        td = domains_from_conjuncts(conjuncts).rename(inv)
+        if not td.is_all():
+            prev = node.domain
+            node = Scan(node.table, node.symbols, node.schema,
+                        td if prev is None else prev.intersect(td))
     node = node.with_children([_pushdown(c, []) for c in node.children])
     return _wrap(node, conjuncts)
 
@@ -246,31 +248,38 @@ def _estimate(node: LogicalNode, catalog) -> float:
     return 1000.0
 
 
-def _unique_keysets(node: LogicalNode) -> Set[frozenset]:
-    """Sets of symbols known unique in this relation's output (PK hints)."""
+def _unique_keysets(node: LogicalNode, catalog) -> Set[frozenset]:
+    """Sets of symbols known unique in this relation's output.  Scan
+    uniqueness comes from connector statistics (Table.unique_keys — the
+    TpchMetadata/statistics analog), so TPC-DS and file/memory tables get
+    the same N:1 plans TPC-H does."""
     if isinstance(node, Scan):
         out = set()
-        for key in TABLE_UNIQUE_KEYS.get(node.table, []):
+        try:
+            keys = getattr(catalog.table(node.table), "unique_keys", [])
+        except Exception:
+            keys = []
+        for key in keys:
             if all(c in node.symbols for c in key):
                 out.add(frozenset(node.symbols[c] for c in key))
         return out
     if isinstance(node, (Filter, Sort, Limit)):
-        return _unique_keysets(node.children[0])
+        return _unique_keysets(node.children[0], catalog)
     if isinstance(node, Project):
-        child = _unique_keysets(node.child)
+        child = _unique_keysets(node.child, catalog)
         passthrough = {s for s, e in node.outputs if isinstance(e, ir.ColumnRef)}
         return {k for k in child if k <= passthrough}
     if isinstance(node, Aggregate):
         return {frozenset(node.group)} if node.group else set()
     if isinstance(node, Join):
         if node.kind in ("semi", "anti"):
-            return _unique_keysets(node.left)
+            return _unique_keysets(node.left, catalog)
         if node.kind in ("inner", "left") and node.build_unique:
             # N:1 join: output rows are a subset of (left) probe rows, so
             # the probe side's unique keysets survive — this is what lets
             # lineitem ⋈ (orders ⋈ customer) keep o_orderkey unique and
             # take the expansion-free N:1 fast path (Q3/Q4/Q10 shape)
-            return _unique_keysets(node.left)
+            return _unique_keysets(node.left, catalog)
         return set()
     return set()
 
@@ -307,7 +316,7 @@ def _orient(node: LogicalNode, catalog) -> LogicalNode:
             j = Join(j.right, j.left, "inner",
                      [(b, a) for a, b in j.equis], j.residual, j.build_unique)
     if j.kind in ("inner", "left", "semi", "anti") and j.equis:
-        uniq = _unique_keysets(j.right)
+        uniq = _unique_keysets(j.right, catalog)
         build_syms = frozenset(
             b.name for _, b in j.equis if isinstance(b, ir.ColumnRef))
         unique = any(k <= build_syms for k in uniq)
@@ -369,31 +378,35 @@ def _greedy_join(rels, edges, catalog) -> LogicalNode:
 # ------------------------------------------------ group-key FD reduction
 
 
-def _fds(node: LogicalNode) -> List[Tuple[frozenset, Set[str]]]:
+def _fds(node: LogicalNode, catalog) -> List[Tuple[frozenset, Set[str]]]:
     """Functional dependencies (lhs symbols -> rhs symbols) provable from
     primary keys and unique-build joins."""
     if isinstance(node, Scan):
         out = []
-        for key in TABLE_UNIQUE_KEYS.get(node.table, []):
+        try:
+            keys = getattr(catalog.table(node.table), "unique_keys", [])
+        except Exception:
+            keys = []
+        for key in keys:
             if all(c in node.symbols for c in key):
                 out.append((frozenset(node.symbols[c] for c in key),
                             set(node.symbols.values())))
         return out
     if isinstance(node, (Filter, Sort, Limit, Output)):
-        return _fds(node.children[0])
+        return _fds(node.children[0], catalog)
     if isinstance(node, Project):
-        fds = list(_fds(node.child))
+        fds = list(_fds(node.child, catalog))
         for s, e in node.outputs:
             if not isinstance(e, ir.ColumnRef):
                 fds.append((frozenset(_refs(e)), {s}))
         return fds
     if isinstance(node, Aggregate):
-        return _fds(node.child) + [(frozenset(node.group),
-                                    set(node.schema.keys()))]
+        return _fds(node.child, catalog) + [(frozenset(node.group),
+                                             set(node.schema.keys()))]
     if isinstance(node, Join):
         if node.kind in ("semi", "anti"):
-            return _fds(node.left)
-        fds = _fds(node.left) + _fds(node.right)
+            return _fds(node.left, catalog)
+        fds = _fds(node.left, catalog) + _fds(node.right, catalog)
         if node.build_unique and node.equis:
             lhs = set()
             ok = True
@@ -420,11 +433,12 @@ def _closure(symbols: Set[str], fds) -> Set[str]:
     return out
 
 
-def _reduce_group_keys(node: LogicalNode) -> LogicalNode:
-    node = node.with_children([_reduce_group_keys(c) for c in node.children])
+def _reduce_group_keys(node: LogicalNode, catalog) -> LogicalNode:
+    node = node.with_children(
+        [_reduce_group_keys(c, catalog) for c in node.children])
     if not isinstance(node, Aggregate) or len(node.group) <= 1:
         return node
-    fds = _fds(node.child)
+    fds = _fds(node.child, catalog)
     primary = list(node.group)
     for g in list(node.group):
         if len(primary) == 1:
@@ -541,7 +555,7 @@ def _prune(node: LogicalNode, needed: Set[str]) -> LogicalNode:
             c, s = next(iter(node.symbols.items()))
             symbols = {c: s}
         schema = {s: node.schema[s] for s in symbols.values()}
-        return Scan(node.table, symbols, schema)
+        return Scan(node.table, symbols, schema, node.domain)
     if isinstance(node, Filter):
         return Filter(_prune(node.child, needed | _refs(node.predicate)),
                       node.predicate)

@@ -91,7 +91,8 @@ def expr_from_json(d: Dict[str, Any]) -> ir.Expr:
 def plan_to_json(n: L.LogicalNode) -> Dict[str, Any]:
     if isinstance(n, L.Scan):
         return {"k": "scan", "table": n.table, "symbols": n.symbols,
-                "schema": {s: _t(t) for s, t in n.schema.items()}}
+                "schema": {s: _t(t) for s, t in n.schema.items()},
+                "domain": None if n.domain is None else n.domain.to_json()}
     if isinstance(n, L.Filter):
         return {"k": "filter", "child": plan_to_json(n.child),
                 "predicate": expr_to_json(n.predicate)}
@@ -153,8 +154,12 @@ def plan_to_json(n: L.LogicalNode) -> Dict[str, Any]:
 def plan_from_json(d: Dict[str, Any]) -> L.LogicalNode:
     k = d["k"]
     if k == "scan":
+        from .domain import TupleDomain
+
+        dom = d.get("domain")
         return L.Scan(d["table"], dict(d["symbols"]),
-                      {s: parse_type_str(t) for s, t in d["schema"].items()})
+                      {s: parse_type_str(t) for s, t in d["schema"].items()},
+                      None if dom is None else TupleDomain.from_json(dom))
     if k == "filter":
         return L.Filter(plan_from_json(d["child"]),
                         expr_from_json(d["predicate"]))

@@ -12,12 +12,13 @@ import numpy as np
 from ..batch import Column, encode_dictionary
 from ..exec.catalog import Catalog, Table
 from .dbgen import TpcdsGenerator
-from .schema import TABLES
+from .schema import PRIMARY_KEYS, TABLES
 
 
 class TpcdsTable(Table):
     def __init__(self, name: str, gen: TpcdsGenerator):
         super().__init__(name, TABLES[name])
+        self.unique_keys = PRIMARY_KEYS.get(name, [])
         self.gen = gen
 
     @property

@@ -62,3 +62,16 @@ ENUM_VOCABS = {
     ("lineitem", "l_linestatus"): ["F", "O"],
     ("orders", "o_orderstatus"): ["F", "O", "P"],
 }
+
+# primary keys per the TPC-H spec §1.4 (reference: the statistics the
+# trino-tpch connector derives in plugin/trino-tpch/.../statistics/)
+PRIMARY_KEYS = {
+    "region": [("r_regionkey",)],
+    "nation": [("n_nationkey",)],
+    "supplier": [("s_suppkey",)],
+    "customer": [("c_custkey",)],
+    "part": [("p_partkey",)],
+    "partsupp": [("ps_partkey", "ps_suppkey")],
+    "orders": [("o_orderkey",)],
+    "lineitem": [("l_orderkey", "l_linenumber")],
+}

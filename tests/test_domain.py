@@ -1,0 +1,147 @@
+"""TupleDomain predicate/domain model + parquet row-group pruning
+(round-1 verdict item 7; reference: spi/predicate/TupleDomain.java,
+Domain/SortedRangeSet, lib/trino-parquet TupleDomainParquetPredicate)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from presto1_tpu.exec.engine import Engine
+from presto1_tpu.exec.file_catalog import FileCatalog
+from presto1_tpu.expr.ir import ColumnRef, Literal, call
+from presto1_tpu.sql.domain import Domain, TupleDomain, domains_from_conjuncts
+from presto1_tpu.types import BIGINT, VARCHAR
+
+
+def _c(name):
+    return ColumnRef(name, BIGINT)
+
+
+def _l(v):
+    return Literal(v, BIGINT)
+
+
+def test_extract_range_conjuncts():
+    td = domains_from_conjuncts([
+        call(">=", _c("x"), _l(10)),
+        call("<", _c("x"), _l(20)),
+        call("=", _c("y"), _l(5)),
+    ])
+    dx, dy = td.get("x"), td.get("y")
+    assert (dx.lo, dx.hi) == (10, 20)  # strict < widened to hull, sound
+    assert (dy.lo, dy.hi) == (5, 5)
+    assert not dx.null_allowed
+
+
+def test_extract_in_and_nulls():
+    td = domains_from_conjuncts([
+        call("in", _c("k"), _l(3), _l(7), _l(9)),
+        call("not", call("is_null", _c("z"))),
+    ])
+    assert td.get("k").values == frozenset([3, 7, 9])
+    assert not td.get("z").null_allowed
+
+
+def test_contradiction_is_none():
+    td = domains_from_conjuncts([
+        call(">", _c("x"), _l(100)),
+        call("<", _c("x"), _l(10)),
+    ])
+    assert td.none
+
+
+def test_intersect_values_with_range():
+    d = Domain(values=frozenset([1, 5, 9])).intersect(Domain(lo=4, hi=10))
+    assert d.values == frozenset([5, 9])
+
+
+def test_may_match():
+    d = Domain(lo=50, hi=60)
+    assert not d.may_match(0, 49, has_nulls=False)
+    assert not d.may_match(61, 99, has_nulls=False)
+    assert d.may_match(40, 55, has_nulls=False)
+    dn = Domain(values=frozenset(), null_allowed=True)  # IS NULL
+    assert dn.may_match(0, 9, has_nulls=True)
+    assert not dn.may_match(0, 9, has_nulls=False)
+
+
+def test_json_roundtrip():
+    td = TupleDomain({"a": Domain(lo=1, hi=9, null_allowed=False),
+                      "b": Domain(values=frozenset(["x", "y"]))})
+    assert TupleDomain.from_json(td.to_json()) == td
+
+
+@pytest.fixture(scope="module")
+def root(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("dom")
+    n = 10000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),            # sorted: prunable
+        "grp": np.arange(n) % 7,
+        "val": np.arange(n, dtype=np.float64) * 1.5,
+        "d": pd.date_range("2020-01-01", periods=n).values,
+    })
+    pq.write_table(pa.Table.from_pandas(df), d / "facts.parquet",
+                   row_group_size=1000)  # 10 row groups
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def engine(root):
+    return Engine(FileCatalog(root))
+
+
+def _pruned_rows(engine, sql):
+    plan = engine.plan(sql)
+    from presto1_tpu.sql.logical import Scan
+
+    def find(n):
+        if isinstance(n, Scan):
+            return n
+        for c in n.children:
+            got = find(c)
+            if got is not None:
+                return got
+        return None
+
+    scan = find(plan)
+    assert scan is not None and scan.domain is not None
+    table = engine.catalog.table(scan.table)
+    view = table.pruned(scan.domain)
+    assert view is not None, "expected row groups to be pruned"
+    return view.num_rows
+
+
+def test_parquet_rowgroup_pruning_range(engine):
+    sql = "select count(*) c, sum(val) s from facts where id between 2500 and 3499"
+    # 10 groups of 1000 sorted ids -> only groups 2 and 3 survive
+    assert _pruned_rows(engine, sql) == 2000
+    out = engine.sql(sql).to_pandas()
+    assert int(out.c[0]) == 1000
+    assert out.s[0] == pytest.approx(np.arange(2500, 3500).sum() * 1.5)
+
+
+def test_parquet_rowgroup_pruning_date(engine):
+    sql = ("select count(*) c from facts "
+           "where d >= date '2020-01-01' and d < date '2020-01-11'")
+    assert _pruned_rows(engine, sql) == 1000  # first group only
+    assert int(engine.sql(sql).to_pandas().c[0]) == 10
+
+
+def test_parquet_pruning_correct_on_unsorted_column(engine):
+    # grp cycles 0..6 in every group: nothing prunable, answer unchanged
+    out = engine.sql(
+        "select count(*) c from facts where grp = 3").to_pandas()
+    assert int(out.c[0]) == len([i for i in range(10000) if i % 7 == 3])
+
+
+def test_compiled_mode_consistent_with_pruning(engine):
+    sql = "select sum(val) s from facts where id >= 9000"
+    a = engine.sql(sql).to_pandas().s[0]
+    fn = engine.compile(sql)
+    b = fn().to_pandas().s[0]
+    assert a == pytest.approx(np.arange(9000, 10000).sum() * 1.5)
+    assert b == pytest.approx(a)
