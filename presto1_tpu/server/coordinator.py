@@ -49,6 +49,7 @@ class ManagedQuery:
         self.rows: List[list] = []
         self.created = time.time()
         self.wall_s: Optional[float] = None
+        self.resource_group: Optional[str] = None
         self.lock = threading.Lock()
 
     def info(self) -> dict:
@@ -67,15 +68,31 @@ class QueryManager:
     the minimal stand-in for the reference's resource groups,
     ``execution/resourcegroups/InternalResourceGroup.java:77``)."""
 
-    def __init__(self, engine: Engine, max_concurrency: int = 4):
+    def __init__(self, engine: Engine, max_concurrency: int = 4,
+                 resource_groups: Optional[dict] = None):
+        from .resource_groups import ResourceGroupManager
+
         self.engine = engine
         self.queries: Dict[str, ManagedQuery] = {}
-        self.pool = ThreadPoolExecutor(max_workers=max_concurrency)
+        # the pool is sized generously; per-group hard concurrency limits
+        # are what actually gate admission (InternalResourceGroup)
+        self.pool = ThreadPoolExecutor(max_workers=max(max_concurrency * 4,
+                                                       16))
+        self.resource_groups = ResourceGroupManager(
+            resource_groups, default_concurrency=max_concurrency)
 
     def submit(self, sql: str, session: Session) -> ManagedQuery:
+        from .resource_groups import QueryQueueFull
+
         q = ManagedQuery(uuid.uuid4().hex[:16], sql, session)
         self.queries[q.id] = q
-        self.pool.submit(self._run, q)
+        try:
+            q.resource_group = self.resource_groups.submit(
+                session.user, getattr(session, "source", None),
+                lambda: self._run(q), self.pool.submit)
+        except QueryQueueFull as e:
+            q.error = f"QueryQueueFull: {e}"
+            q.state = QueryState.FAILED
         return q
 
     def _run(self, q: ManagedQuery) -> None:
@@ -152,7 +169,8 @@ th{background:#222}.FINISHED{color:#7c7}.FAILED{color:#e77}
 
 class CoordinatorServer:
     def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0,
-                 authenticator=None, access_control=None):
+                 authenticator=None, access_control=None,
+                 resource_groups: Optional[dict] = None):
         """authenticator/access_control: see server/security.py; None =
         allow-all (the reference's insecure default)."""
         from .security import AccessDeniedError, Authenticator
@@ -169,7 +187,7 @@ class CoordinatorServer:
                             events=engine.events,
                             memory_pool=engine.memory_pool,
                             access_control=access_control)
-        self.manager = QueryManager(engine)
+        self.manager = QueryManager(engine, resource_groups=resource_groups)
         manager = self.manager
         auth = authenticator or Authenticator()
 
@@ -210,6 +228,9 @@ class CoordinatorServer:
 
             def do_GET(self):
                 parts = self.path.strip("/").split("/")
+                if parts == ["v1", "resourceGroupState"]:
+                    self._send(200, manager.resource_groups.info())
+                    return
                 if parts[:3] == ["v1", "statement", "executing"] and len(parts) == 5:
                     qid, token = parts[3], int(parts[4])
                     q = manager.queries.get(qid)
