@@ -251,6 +251,66 @@ def fragment_plan(plan: L.LogicalNode, exclude: Optional[Tuple[int, ...]] = None
     return coord, fragments
 
 
+# key types eligible for min/max dynamic-filter domains (strings are
+# dictionary-coded per host, so their codes carry no cross-host order)
+_DF_KINDS = ("bigint", "integer", "smallint", "tinyint", "date", "double",
+             "real", "timestamp", "decimal")
+
+
+def _apply_dynamic_filter(plan: L.LogicalNode, conjuncts: List[ir.Expr]):
+    """Wrap a probe-side fragment with the build-side key domain: a Filter
+    (rows compacted BEFORE they hit the wire) plus a TupleDomain on the
+    scan so the connector can also prune row groups.  The distributed
+    analog of server/DynamicFilterService.java:95 applied at the probe
+    scan."""
+    from ..sql.domain import domains_from_conjuncts
+    from ..sql.planner import ir_conjoin
+
+    td_sym = domains_from_conjuncts(conjuncts)
+
+    def attach(node):
+        if isinstance(node, L.Scan):
+            inv = {sym: col for col, sym in node.symbols.items()}
+            td = td_sym.rename(inv)
+            if not td.is_all():
+                prev = node.domain
+                return L.Scan(node.table, node.symbols, node.schema,
+                              td if prev is None else prev.intersect(td))
+            return node
+        return node.with_children([attach(c) for c in node.children])
+
+    return attach(L.Filter(plan, ir_conjoin(conjuncts)))
+
+
+def _merge_build_domains(clients, lks: List[str], rks: List[str],
+                         probe_schema) -> List[ir.Expr]:
+    """Union the per-task build key [min, max] reports into probe-side
+    range conjuncts (the coordinator half of DynamicFilterService)."""
+    per_key: Dict[str, Optional[list]] = {rk: [] for rk in rks}
+    for cl in clients:
+        doms = cl.wait_finished().get("domains") or {}
+        for rk in rks:
+            d = doms.get(rk)
+            if d is None:
+                per_key[rk] = None  # unsupported key type on some task
+            elif per_key[rk] is not None and d:
+                per_key[rk].append(d)
+    conjuncts: List[ir.Expr] = []
+    for lk, rk in zip(lks, rks):
+        entries = per_key.get(rk)
+        if not entries:
+            continue
+        t = probe_schema.get(lk)
+        if t is None or t.kind not in _DF_KINDS:
+            continue
+        lo = min(e[0] for e in entries)
+        hi = max(e[1] for e in entries)
+        ref = ir.ColumnRef(lk, t)
+        conjuncts.append(ir.call(">=", ref, ir.Literal(lo, t)))
+        conjuncts.append(ir.call("<=", ref, ir.Literal(hi, t)))
+    return conjuncts
+
+
 class RemoteTaskClient:
     """Coordinator-side handle for one worker task (HttpRemoteTask analog)."""
 
@@ -261,11 +321,30 @@ class RemoteTaskClient:
 
     def create(self, fragment_json: dict, shard: Optional[dict],
                sources: Optional[dict] = None,
-               partitioning: Optional[dict] = None) -> None:
+               partitioning: Optional[dict] = None,
+               collect_domains: Optional[List[str]] = None) -> None:
         body = json.dumps({"fragment": fragment_json, "shard": shard,
                            "sources": sources,
-                           "output_partitioning": partitioning}).encode()
+                           "output_partitioning": partitioning,
+                           "collect_domains": collect_domains}).encode()
         self._rpc("POST", f"/v1/task/{self.task_id}", body)
+
+    def status(self) -> dict:
+        return self._rpc("GET", f"/v1/task/{self.task_id}")
+
+    def wait_finished(self, timeout_s: float = 300.0) -> dict:
+        """Poll task status until terminal (ContinuousTaskStatusFetcher)."""
+        deadline = time.time() + timeout_s
+        while True:
+            inf = self.status()
+            if inf["state"] == "FAILED":
+                raise QueryFailed(
+                    f"task {self.task_id}: {inf.get('error')}")
+            if inf["state"] != "RUNNING":
+                return inf
+            if time.time() > deadline:
+                raise QueryFailed(f"task {self.task_id} timed out")
+            time.sleep(0.05)
 
     def fetch_pages(self) -> List[bytes]:
         pages: List[bytes] = []
@@ -317,10 +396,11 @@ class MultiHostEngine:
     """SQL over a set of worker hosts discovered via the registry."""
 
     def __init__(self, catalog, registry: NodeRegistry,
-                 shards_per_node: int = 1):
+                 shards_per_node: int = 1, dynamic_filtering: bool = True):
         self.catalog = catalog  # coordinator-local metadata (plan-time only)
         self.registry = registry
         self.shards_per_node = shards_per_node
+        self.dynamic_filtering = dynamic_filtering
 
     def plan(self, sql: str) -> L.LogicalNode:
         q = sql_parser.parse(sql)
@@ -341,20 +421,31 @@ class MultiHostEngine:
         results: Dict[Tuple[Tuple[int, ...], int], List[bytes]] = {}
         lock = threading.Lock()
         metrics = {"coordinator_bytes": 0, "exchange_tasks": 0,
-                   "stage1_tasks": 0}
+                   "stage1_tasks": 0, "exchange_bytes_in": 0,
+                   "df_applied": False}
 
         def run_task(frag_path, frag_json, shard, node, sources=None,
-                     partitioning=None, pull=True, shard_idx=0):
+                     partitioning=None, pull=True, shard_idx=0,
+                     collect_domains=None):
             try:
                 client = RemoteTaskClient(node, uuid.uuid4().hex[:16])
                 client.create(frag_json, shard, sources=sources,
-                              partitioning=partitioning)
+                              partitioning=partitioning,
+                              collect_domains=collect_domains)
                 if pull:
                     pages = client.fetch_pages()
+                    bytes_in = 0
+                    if sources is not None:
+                        try:  # DCN bytes this task pulled from its peers
+                            bytes_in = int(
+                                client.status().get("bytesIn") or 0)
+                        except Exception:  # noqa: BLE001 — metric only
+                            pass
                     with lock:
                         results[(frag_path, shard_idx)] = pages
                         metrics["coordinator_bytes"] += sum(
                             len(p) for p in pages)
+                        metrics["exchange_bytes_in"] += bytes_in
                 return client
             except Exception as e:  # noqa: BLE001 — collected, fails query
                 with lock:
@@ -363,22 +454,49 @@ class MultiHostEngine:
 
         # ---- stage 1: the exchange stage's upstream fragments (FIXED_HASH
         # partitioned output buffers) — created, never pulled by us
-        stage_handles: List[List[Tuple[str, str]]] = []  # per upstream
+        stage_handles: List[List[Tuple[str, str]]] = [[], []]  # per upstream
         if stage is not None:
-            for frag in stage.upstreams:
-                handles = []
+            # distributed dynamic filtering (DynamicFilterService analog):
+            # for inner/semi exchanges, run the BUILD side first with
+            # domain collection, merge per-task key [min,max], and push the
+            # merged domain into the probe fragments — probe rows outside
+            # the build key range are dropped on the worker BEFORE the wire
+            df_ok = (self.dynamic_filtering
+                     and isinstance(stage.plan, L.Join)
+                     and stage.plan.kind in ("inner", "semi"))
+            df_conjuncts: List[ir.Expr] = []
+            for ui in ([1, 0] if df_ok else [0, 1]):
+                frag = stage.upstreams[ui]
+                frag_plan = frag.plan
+                if ui == 0 and df_conjuncts:
+                    frag_plan = _apply_dynamic_filter(frag_plan,
+                                                      df_conjuncts)
+                    metrics["df_applied"] = True
+                handles, clients = [], []
                 for shard_idx in range(n_shards):
                     node = nodes[shard_idx % len(nodes)]
                     client = run_task(
-                        None, plan_to_json(frag.plan),
+                        None, plan_to_json(frag_plan),
                         {"index": shard_idx, "count": n_shards}, node,
                         partitioning={"keys": frag.partition_keys,
                                       "count": n_shards},
-                        pull=False)
+                        pull=False,
+                        collect_domains=frag.partition_keys
+                        if (df_ok and ui == 1) else None)
                     if client is not None:
                         handles.append((node.uri, client.task_id))
+                        clients.append(client)
                     metrics["stage1_tasks"] += 1
-                stage_handles.append(handles)
+                stage_handles[ui] = handles
+                if df_ok and ui == 1 and not errors:
+                    lks = stage.upstreams[0].partition_keys or []
+                    rks = frag.partition_keys or []
+                    try:
+                        df_conjuncts = _merge_build_domains(
+                            clients, lks, rks,
+                            stage.upstreams[0].plan.schema)
+                    except QueryFailed:
+                        raise
         if errors:
             raise QueryFailed(str(errors[0]))
 

@@ -59,6 +59,10 @@ class WorkerTask:
         self.buffers: list = [[]]
         self.bytes_in = 0   # pages pulled from upstream tasks (DCN)
         self.bytes_out = 0  # pages served to consumers
+        # per-key [min, max] of this task's output key columns, when the
+        # coordinator asked for them (DynamicFilterService's worker side —
+        # server/TaskResource.java:221 dynamic-filter fetch endpoint)
+        self.domains: Optional[dict] = None
         self.created = time.time()
         self.heartbeat = time.time()
         self.done = threading.Event()
@@ -71,7 +75,8 @@ class WorkerTask:
         return {"taskId": self.id, "state": self.state, "error": self.error,
                 "pages": sum(len(b) for b in self.buffers),
                 "buffers": len(self.buffers),
-                "bytesIn": self.bytes_in, "bytesOut": self.bytes_out}
+                "bytesIn": self.bytes_in, "bytesOut": self.bytes_out,
+                "domains": self.domains}
 
 
 def _paginate(out, lo0: int, n: int) -> list:
@@ -256,6 +261,23 @@ class WorkerRuntime:
             out = Executor(catalog, stubs=stubs).execute(plan)
             n = out.num_rows if isinstance(out.num_rows, int) \
                 else int(out.num_rows)
+
+            collect = body.get("collect_domains")
+            if collect:
+                import numpy as np
+
+                doms = {}
+                for key in collect:
+                    c = out[key]
+                    if c.dictionary is not None:
+                        doms[key] = None  # strings: no range domain
+                        continue
+                    data = np.asarray(c.data[:n])
+                    if c.validity is not None:
+                        data = data[np.asarray(c.validity[:n])]
+                    doms[key] = ([data.min().item(), data.max().item()]
+                                 if data.size else [])
+                task.domains = doms
 
             part = body.get("output_partitioning")
             if part is not None:

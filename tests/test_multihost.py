@@ -160,3 +160,32 @@ def test_plan_serde_roundtrip():
         plan = engine.plan(QUERIES[qid])
         rt = plan_from_json(plan_to_json(plan))
         assert plan_tree(rt) == plan_tree(plan)
+
+
+def test_distributed_dynamic_filtering(runner, local_engine):
+    """Round-1 verdict item 7 (distributed half): the build side runs
+    first with domain collection; the merged key [min,max] is pushed into
+    the probe fragments, so probe rows outside the build domain are
+    dropped on the workers BEFORE the exchange wire (the
+    server/DynamicFilterService.java:95 flow)."""
+    from presto1_tpu.exec.dist_engine import MultiHostEngine
+
+    sql = ("select sum(l_extendedprice) s from lineitem, orders "
+           "where l_orderkey = o_orderkey "
+           "and o_orderkey between 500 and 600")
+    expected = local_engine.sql_pandas(sql)
+    info_on = {}
+    a = runner.engine.sql(sql, info=info_on).to_pandas()
+    assert_frames_match(a, expected, ordered=False)
+    assert info_on["df_applied"], info_on
+
+    eng_off = MultiHostEngine(runner.engine.catalog, runner.registry,
+                              shards_per_node=runner.engine.shards_per_node,
+                              dynamic_filtering=False)
+    info_off = {}
+    b = eng_off.sql(sql, info=info_off).to_pandas()
+    assert_frames_match(b, expected, ordered=False)
+    assert not info_off["df_applied"]
+    # DF must shrink the probe-side exchange traffic
+    assert 0 < info_on["exchange_bytes_in"] < info_off["exchange_bytes_in"], \
+        (info_on, info_off)
