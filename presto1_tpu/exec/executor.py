@@ -886,14 +886,27 @@ def _k(path: Path, name: str, kind: str) -> str:
 
 
 class _CpuTableProxy:
-    """Table whose columns are CPU-device copies (for CPU-side discovery)."""
+    """Table whose columns are CPU-device copies (for CPU-side discovery).
+
+    Must cover the FULL Table surface (``exec/catalog.py:21``): any method
+    `_scan_table`/discovery calls lands here when the default backend is an
+    accelerator, a path no CPU-only test exercises naturally.  Unknown
+    attributes delegate to the wrapped table so future Table methods can't
+    silently break the TPU path again (round-2 regression: missing
+    ``pruned`` crashed every compiled filtered query on hardware)."""
 
     def __init__(self, table, cpu_dev):
         self._table = table
         self._cpu = cpu_dev
         self._cache: Dict[str, Column] = {}
+        self._pruned: Dict[object, Optional["_CpuTableProxy"]] = {}
         self.num_rows = table.num_rows
         self.schema = table.schema
+
+    def __getattr__(self, name):
+        # fallback for everything not overridden (unique_keys,
+        # column_order, column_range, connector-specific metadata, ...)
+        return getattr(self._table, name)
 
     def column(self, name: str) -> Column:
         if name not in self._cache:
@@ -908,6 +921,16 @@ class _CpuTableProxy:
     def batch(self, columns=None):
         cols = columns if columns is not None else list(self.schema)
         return RecordBatch({c: self.column(c) for c in cols}, self.num_rows)
+
+    def pruned(self, domain):
+        """Prune through the real table, then wrap the view so discovery
+        keeps reading CPU copies (shapes match the real pruned scan)."""
+        key = domain.fingerprint() if domain is not None else None
+        if key not in self._pruned:
+            view = self._table.pruned(domain)
+            self._pruned[key] = None if view is None \
+                else _CpuTableProxy(view, self._cpu)
+        return self._pruned[key]
 
 
 class _CpuCatalogProxy:

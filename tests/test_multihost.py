@@ -189,3 +189,38 @@ def test_distributed_dynamic_filtering(runner, local_engine):
     # DF must shrink the probe-side exchange traffic
     assert 0 < info_on["exchange_bytes_in"] < info_off["exchange_bytes_in"], \
         (info_on, info_off)
+
+
+def test_string_hash_width_and_padding_independent():
+    """Cross-host determinism of the dictionary hash: two hosts hold the
+    same values in dictionaries of different fixed widths (numpy 'U'
+    storage is padded to the longest LOCAL entry), and the hash must not
+    see the padding."""
+    import numpy as np
+    from presto1_tpu.server.worker import _hash_strings_host
+
+    a = np.array(["FRANCE", "GERMANY", "IRAQ"], dtype="U7")
+    b = np.array(["FRANCE", "GERMANY", "IRAQ", "UNITED KINGDOM"],
+                 dtype="U14")
+    ha, hb = _hash_strings_host(a), _hash_strings_host(b)
+    assert (ha == hb[:3]).all()
+    assert len(set(hb.tolist())) == 4  # no collisions among distinct values
+    # stable across dtype-width round-trips of a single value
+    assert _hash_strings_host(np.array(["x"], dtype="U32"))[0] == \
+        _hash_strings_host(np.array(["x"], dtype="U1"))[0]
+    assert len(_hash_strings_host(np.array([], dtype="U1"))) == 0
+
+
+def test_null_keys_hash_apart_from_zero():
+    """NULL lanes must not co-hash with legitimate 0-valued keys."""
+    import jax.numpy as jnp
+    import numpy as np
+    from presto1_tpu.batch import Column, RecordBatch
+    from presto1_tpu.server.worker import _key_hash_host
+    from presto1_tpu.types import BIGINT
+
+    data = jnp.asarray(np.array([0, 0, 5], dtype=np.int64))
+    validity = jnp.asarray(np.array([True, False, True]))
+    b = RecordBatch({"k": Column(data, BIGINT, validity=validity)}, 3)
+    h = _key_hash_host(b, 3, ["k"])
+    assert h[0] != h[1]  # value-0 row vs NULL row
