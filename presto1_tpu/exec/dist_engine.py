@@ -1,26 +1,26 @@
 """Multi-host distributed engine (coordinator side of the DCN plane).
 
-The reference's coordinator control plane in miniature: plan → fragment →
+The reference's coordinator control plane in miniature: plan → stage DAG →
 schedule tasks on discovered workers → pull result pages → final stage.
 
-* Fragmenter: cuts the optimized plan at the source-stage boundary the way
+* Fragmenter: ``exec/stage_dag.py`` cuts the optimized plan at exchange
+  boundaries into a recursive stage DAG the way
   ``PlanFragmenter.createSubPlans`` (``sql/planner/PlanFragmenter.java:106``)
-  cuts at exchanges.  Two fragment shapes:
-    - partial/final aggregation (the ``PushPartialAggregationThroughExchange``
-      rewrite): workers aggregate their shard, the coordinator combines —
-      sum→sum, count→sum, min→min, max→max, avg→sum+count then divide.
-    - scan-chain shipping: each maximal Scan[+Filter+Project] subtree runs
-      on the workers (row-sharded splits); the coordinator unions pages and
-      executes the rest of the plan locally.
-* Scheduler: round-robins shards over ``NodeRegistry.active_nodes()``
-  (UniformNodeSelector analog); one task per (node, fragment).
-* Results: token-acknowledged page pulls with Backoff retry
-  (``operator/HttpPageBufferClient.java:321``); any task failure fails the
-  query (the reference has no task retry either — SURVEY §5.3).
+  + ``AddExchanges`` (``optimizations/AddExchanges.java:115``) do: source
+  stages per table shard, FIXED_HASH stages per partition, broadcast
+  replication for small build sides, partial/final aggregation splits
+  with the grouped final stage partitioned across workers.
+* Scheduler: stages scheduled in topological order
+  (``SqlQueryScheduler.java:112,538``); tasks round-robin over
+  ``NodeRegistry.active_nodes()`` (UniformNodeSelector analog).
+* Results: token-acknowledged page pulls with Backoff retry and a
+  no-progress deadline (``operator/HttpPageBufferClient.java:321``); any
+  task failure fails the query (the reference has no task retry either —
+  SURVEY §5.3).
 
 Within each worker, execution is the usual single-host XLA path; across
-hosts, pages move over DCN (HTTP here) exactly once, partial-aggregated
-where possible to keep the wire thin.
+hosts, pages move over DCN (HTTP here) worker-to-worker, partial-aggregated
+and dynamic-filtered where possible to keep the wire thin.
 """
 
 from __future__ import annotations
@@ -57,16 +57,6 @@ def exchange_deadline_s() -> float:
     import os
 
     return float(os.environ.get("P1_EXCHANGE_DEADLINE_S", "300"))
-
-
-def _is_scan_chain(node: L.LogicalNode) -> bool:
-    """True if the subtree is Scan with only Filter/Project above it —
-    executable independently on a row shard of its table."""
-    if isinstance(node, L.Scan):
-        return True
-    if isinstance(node, (L.Filter, L.Project)):
-        return _is_scan_chain(node.children[0])
-    return False
 
 
 @dataclass
@@ -150,123 +140,6 @@ class _FakeCol:
 
     def __init__(self, t):
         self.type = t
-
-
-@dataclass
-class Fragment:
-    path: Tuple[int, ...]     # stub path in the coordinator plan
-    plan: L.LogicalNode       # worker fragment plan
-    table: str                # sharded table (split source)
-    # FIXED_HASH output: partition the task's output by these key symbols
-    # into n_parts destination buffers (PartitionedOutputBuffer analog);
-    # None = single buffer pulled by the coordinator
-    partition_keys: Optional[List[str]] = None
-
-
-@dataclass
-class ExchangeStage:
-    """A worker-side stage consuming other tasks' partitioned buffers —
-    the worker-to-worker data plane (ExchangeClient + PartitionedOutput).
-
-    One stage-2 task runs per partition p; its stub at ``source_paths[i]``
-    is the concatenation of every upstream task's buffer p."""
-
-    path: Tuple[int, ...]          # stub path in the coordinator plan
-    plan: L.LogicalNode            # stage-2 fragment
-    source_paths: List[Tuple[int, ...]]  # stub paths inside `plan`
-    upstreams: List[Fragment]      # parallel to source_paths
-
-
-def _plain_symbols(equis) -> Optional[Tuple[List[str], List[str]]]:
-    lks, rks = [], []
-    for a, b in equis:
-        if not (isinstance(a, ir.ColumnRef) and isinstance(b, ir.ColumnRef)):
-            return None
-        lks.append(a.name)
-        rks.append(b.name)
-    return lks, rks
-
-
-def fragment_exchange_join(plan: L.LogicalNode):
-    """Find the deepest equi-join whose children are scan chains and cut
-    it into a worker-to-worker exchange stage: both children become
-    FIXED_HASH-partitioned fragments, the join runs on workers (one task
-    per partition), and the coordinator only unions final join pages.
-
-    Returns (stage, remaining-plan-with-stub-path) or (None, plan)."""
-    found: List[Tuple[Tuple[int, ...], L.Join]] = []
-
-    def visit(node, path):
-        for i, c in enumerate(node.children):
-            visit(c, path + (i,))
-        if (isinstance(node, L.Join)
-                and node.kind in ("inner", "left", "semi", "anti")
-                and node.equis and node.residual is None
-                and _is_scan_chain(node.left)
-                and _is_scan_chain(node.right)
-                and _plain_symbols(node.equis) is not None):
-            found.append((path, node))
-
-    visit(plan, ())
-    if not found:
-        return None, plan
-    path, node = max(found, key=lambda t: len(t[0]))  # deepest
-    lks, rks = _plain_symbols(node.equis)
-
-    def scan_table(n):
-        while not isinstance(n, L.Scan):
-            n = n.children[0]
-        return n.table
-
-    left_frag = Fragment(path + (0,), node.left, scan_table(node.left),
-                         partition_keys=lks)
-    right_frag = Fragment(path + (1,), node.right, scan_table(node.right),
-                          partition_keys=rks)
-    stage = ExchangeStage(path, node, [(0,), (1,)],
-                          [left_frag, right_frag])
-    return stage, plan
-
-
-def fragment_plan(plan: L.LogicalNode, exclude: Optional[Tuple[int, ...]] = None):
-    """Cut the plan: returns (coordinator_plan, fragments).
-
-    Every maximal scan-chain subtree becomes a worker fragment; if an
-    Aggregate sits directly on a scan chain, the fragment runs the partial
-    aggregation and the coordinator node is replaced by final(+assemble).
-    ``exclude`` marks a subtree already claimed by an exchange stage.
-    """
-    fragments: List[Fragment] = []
-
-    def scan_table(node):
-        while not isinstance(node, L.Scan):
-            node = node.children[0]
-        return node.table
-
-    def visit(node: L.LogicalNode, path: Tuple[int, ...]) -> L.LogicalNode:
-        if exclude is not None and path == exclude:
-            return node  # stubbed by the exchange stage
-        if isinstance(node, L.Aggregate) and _is_scan_chain(node.child):
-            split = split_aggregate(node)
-            if split is not None:
-                partial, final, project = split
-                # the final stage reads merged partials at its child path;
-                # an assembling Project shifts the aggregate one level down
-                frag_path = path + ((0, 0) if project is not None else (0,))
-                fragments.append(Fragment(frag_path, partial,
-                                          scan_table(node.child)))
-                return final if project is None else project
-        if _is_scan_chain(node) and not isinstance(node, L.Scan):
-            fragments.append(Fragment(path, node, scan_table(node)))
-            return node  # stubbed at `path` by the executor
-        if isinstance(node, L.Scan):
-            fragments.append(Fragment(path, node, node.table))
-            return node
-        children = [visit(c, path + (i,))
-                    for i, c in enumerate(node.children)]
-        return node.with_children(children)
-
-    coord = visit(plan, ())
-    return coord, fragments
 
 
 # key types eligible for min/max dynamic-filter domains (strings are
@@ -422,177 +295,158 @@ class RemoteTaskClient:
 
 
 class MultiHostEngine:
-    """SQL over a set of worker hosts discovered via the registry."""
+    """SQL over a set of worker hosts discovered via the registry.
+
+    Queries are cut into a recursive stage DAG (``exec/stage_dag.py``, the
+    AddExchanges/PlanFragmenter analog) and scheduled stage-by-stage in
+    topological order (``SqlQueryScheduler.java:112,538``): source stages
+    run one task per table shard, hash stages one task per partition, and
+    pages move worker-to-worker over DCN — the coordinator pulls only the
+    stages it consumes directly."""
 
     def __init__(self, catalog, registry: NodeRegistry,
-                 shards_per_node: int = 1, dynamic_filtering: bool = True):
+                 shards_per_node: int = 1, dynamic_filtering: bool = True,
+                 broadcast_threshold: int = 100_000):
         self.catalog = catalog  # coordinator-local metadata (plan-time only)
         self.registry = registry
         self.shards_per_node = shards_per_node
         self.dynamic_filtering = dynamic_filtering
+        self.broadcast_threshold = broadcast_threshold
 
     def plan(self, sql: str) -> L.LogicalNode:
         q = sql_parser.parse(sql)
         return optimize(Planner(self.catalog).plan(q), self.catalog)
 
     def sql(self, sql: str, info: Optional[dict] = None):
+        from .stage_dag import build_stage_dag
+
         plan = self.plan(sql)
-        stage, _ = fragment_exchange_join(plan)
-        coord_plan, fragments = fragment_plan(
-            plan, exclude=stage.path if stage else None)
+        coord_plan, coord_sources, stages = build_stage_dag(
+            plan, self.catalog,
+            broadcast_threshold=self.broadcast_threshold,
+            dynamic_filtering=self.dynamic_filtering)
         nodes = self.registry.active_nodes()
         if not nodes:
             raise QueryFailed("no active worker nodes")
-        n_shards = len(nodes) * self.shards_per_node
-        stubs: Dict[Tuple[int, ...], object] = {}
-        threads: List[threading.Thread] = []
-        errors: List[Exception] = []
-        results: Dict[Tuple[Tuple[int, ...], int], List[bytes]] = {}
-        lock = threading.Lock()
+        if not stages:  # e.g. FROM-less SELECT
+            return Executor(self.catalog).execute(coord_plan)
+        n_parts = len(nodes) * self.shards_per_node
         metrics = {"coordinator_bytes": 0, "exchange_tasks": 0,
                    "stage1_tasks": 0, "exchange_bytes_in": 0,
-                   "df_applied": False}
+                   "df_applied": False, "stages": len(stages),
+                   "broadcast_sources": sum(
+                       1 for st in stages for s in st.sources
+                       if s.mode == "broadcast")}
+        stage_clients: Dict[int, List[RemoteTaskClient]] = {}
 
-        def run_task(frag_path, frag_json, shard, node, sources=None,
-                     partitioning=None, pull=True, shard_idx=0,
-                     collect_domains=None):
-            try:
+        def task_sources(st, p: int) -> Optional[dict]:
+            out = {}
+            for src in st.sources:
+                key = ",".join(str(x) for x in src.stub_path)
+                buf = p if src.mode == "partition" else 0
+                out[key] = [{"uri": c.node.uri, "task": c.task_id,
+                             "buffer": buf}
+                            for c in stage_clients[src.stage]]
+            return out or None
+
+        def schedule(sid: int) -> None:
+            if sid in stage_clients:
+                return
+            st = stages[sid]
+            # distributed dynamic filtering: run the build stage to
+            # completion first, merge per-task key [min,max] reports, and
+            # push the merged domain into the probe stage BEFORE its tasks
+            # are created (DynamicFilterService analog)
+            if st.df is not None and self.dynamic_filtering:
+                probe_sid, build_sid, lks, rks = st.df
+                if (probe_sid not in stage_clients
+                        and stages[probe_sid].distribution == "source"):
+                    schedule(build_sid)
+                    conj = _merge_build_domains(
+                        stage_clients[build_sid], lks, rks,
+                        stages[probe_sid].plan.schema)
+                    if conj:
+                        stages[probe_sid].plan = _apply_dynamic_filter(
+                            stages[probe_sid].plan, conj)
+                        metrics["df_applied"] = True
+            for src in st.sources:
+                schedule(src.stage)
+            frag_json = plan_to_json(st.plan)
+            part = None
+            if st.partition_keys is not None:
+                part = {"keys": st.partition_keys, "count": n_parts}
+            clients = []
+            for p in range(n_parts):
+                node = nodes[p % len(nodes)]
                 client = RemoteTaskClient(node, uuid.uuid4().hex[:16])
-                client.create(frag_json, shard, sources=sources,
-                              partitioning=partitioning,
-                              collect_domains=collect_domains)
-                if pull:
-                    pages = client.fetch_pages()
-                    bytes_in = 0
-                    if sources is not None:
-                        try:  # DCN bytes this task pulled from its peers
-                            bytes_in = int(
-                                client.status().get("bytesIn") or 0)
-                        except Exception:  # noqa: BLE001 — metric only
-                            pass
-                    with lock:
-                        results[(frag_path, shard_idx)] = pages
-                        metrics["coordinator_bytes"] += sum(
-                            len(p) for p in pages)
-                        metrics["exchange_bytes_in"] += bytes_in
-                return client
-            except Exception as e:  # noqa: BLE001 — collected, fails query
+                shard = ({"index": p, "count": n_parts}
+                         if st.distribution == "source" else None)
+                client.create(frag_json, shard,
+                              sources=task_sources(st, p),
+                              partitioning=part,
+                              collect_domains=st.collect_domains)
+                clients.append(client)
+            stage_clients[sid] = clients
+            metrics["stage1_tasks" if st.distribution == "source"
+                    else "exchange_tasks"] += n_parts
+
+        # schedule top-down from the coordinator-consumed stages: the
+        # recursion reaches every upstream, and a join stage's dynamic
+        # filter runs its build side BEFORE the probe stage's tasks exist
+        for sid in coord_sources.values():
+            schedule(sid)
+
+        # gather the stages the coordinator consumes directly (in
+        # parallel: page pulls long-poll until tasks finish)
+        stubs: Dict[Tuple[int, ...], object] = {}
+        errors: List[Exception] = []
+        lock = threading.Lock()
+
+        def pull(path, sid):
+            try:
+                batches = []
+                nbytes = 0
+                for c in stage_clients[sid]:
+                    for page in c.fetch_pages():
+                        nbytes += len(page)
+                        batches.append(deserialize_batch(page))
+                merged = concat_batches(batches)
+                if merged is None:
+                    from ..batch import Column, RecordBatch
+                    import jax.numpy as jnp
+
+                    st = stages[sid]
+                    cols = {s: Column(jnp.zeros(128, dtype=t.np_dtype), t)
+                            for s, t in st.plan.schema.items()}
+                    merged = RecordBatch(cols, 0)
+                with lock:
+                    stubs[path] = merged
+                    metrics["coordinator_bytes"] += nbytes
+            except Exception as e:  # noqa: BLE001 — fails the query below
                 with lock:
                     errors.append(e)
-                return None
 
-        # ---- stage 1: the exchange stage's upstream fragments (FIXED_HASH
-        # partitioned output buffers) — created, never pulled by us
-        stage_handles: List[List[Tuple[str, str]]] = [[], []]  # per upstream
-        if stage is not None:
-            # distributed dynamic filtering (DynamicFilterService analog):
-            # for inner/semi exchanges, run the BUILD side first with
-            # domain collection, merge per-task key [min,max], and push the
-            # merged domain into the probe fragments — probe rows outside
-            # the build key range are dropped on the worker BEFORE the wire
-            df_ok = (self.dynamic_filtering
-                     and isinstance(stage.plan, L.Join)
-                     and stage.plan.kind in ("inner", "semi"))
-            df_conjuncts: List[ir.Expr] = []
-            for ui in ([1, 0] if df_ok else [0, 1]):
-                frag = stage.upstreams[ui]
-                frag_plan = frag.plan
-                if ui == 0 and df_conjuncts:
-                    frag_plan = _apply_dynamic_filter(frag_plan,
-                                                      df_conjuncts)
-                    metrics["df_applied"] = True
-                handles, clients = [], []
-                for shard_idx in range(n_shards):
-                    node = nodes[shard_idx % len(nodes)]
-                    client = run_task(
-                        None, plan_to_json(frag_plan),
-                        {"index": shard_idx, "count": n_shards}, node,
-                        partitioning={"keys": frag.partition_keys,
-                                      "count": n_shards},
-                        pull=False,
-                        collect_domains=frag.partition_keys
-                        if (df_ok and ui == 1) else None)
-                    if client is not None:
-                        handles.append((node.uri, client.task_id))
-                        clients.append(client)
-                    metrics["stage1_tasks"] += 1
-                stage_handles[ui] = handles
-                if df_ok and ui == 1 and not errors:
-                    lks = stage.upstreams[0].partition_keys or []
-                    rks = frag.partition_keys or []
-                    try:
-                        df_conjuncts = _merge_build_domains(
-                            clients, lks, rks,
-                            stage.upstreams[0].plan.schema)
-                    except QueryFailed:
-                        raise
-        if errors:
-            raise QueryFailed(str(errors[0]))
-
-        # ---- stage 2: one worker task per partition consumes buffer p of
-        # every upstream task directly over DCN (worker-to-worker; the
-        # coordinator only sees the joined result)
-        if stage is not None:
-            frag_json = plan_to_json(stage.plan)
-            for p in range(n_shards):
-                node = nodes[p % len(nodes)]
-                sources = {}
-                for spath, handles in zip(stage.source_paths, stage_handles):
-                    key = ",".join(str(x) for x in spath)
-                    sources[key] = [
-                        {"uri": uri, "task": tid, "buffer": p}
-                        for uri, tid in handles
-                    ]
-                t = threading.Thread(
-                    target=run_task,
-                    args=(stage.path, frag_json, None, node),
-                    kwargs={"sources": sources, "pull": True,
-                            "shard_idx": p},
-                    daemon=True)
-                t.start()
-                threads.append(t)
-                metrics["exchange_tasks"] += 1
-
-        # ---- legacy single-hop fragments (scan chains, partial aggs)
-        for frag in fragments:
-            for shard_idx in range(n_shards):
-                node = nodes[shard_idx % len(nodes)]
-                t = threading.Thread(
-                    target=run_task,
-                    args=(frag.path, plan_to_json(frag.plan),
-                          {"index": shard_idx, "count": n_shards}, node),
-                    kwargs={"pull": True, "shard_idx": shard_idx},
-                    daemon=True)
-                t.start()
-                threads.append(t)
+        threads = [threading.Thread(target=pull, args=(path, sid),
+                                    daemon=True)
+                   for path, sid in coord_sources.items()]
+        for t in threads:
+            t.start()
         for t in threads:
             t.join()
         if errors:
             raise QueryFailed(str(errors[0]))
 
-        stub_specs = [(f.path, f.plan) for f in fragments]
-        if stage is not None:
-            stub_specs.append((stage.path, stage.plan))
-        for path, frag_plan in stub_specs:
-            batches = []
-            for shard_idx in range(n_shards):
-                for page in results.get((path, shard_idx), []):
-                    batches.append(deserialize_batch(page))
-            merged = concat_batches(batches)
-            if merged is None:
-                from ..batch import RecordBatch
-                import jax.numpy as jnp
-                from ..batch import Column
-
-                cols = {}
-                for s, t in frag_plan.schema.items():
-                    cols[s] = Column(jnp.zeros(128, dtype=t.np_dtype), t)
-                merged = RecordBatch(cols, 0)
-            stubs[path] = merged
-
         if info is not None:
+            # DCN bytes each mid-DAG consumer pulled from its peers
+            for sid, st in enumerate(stages):
+                if st.sources:
+                    for c in stage_clients[sid]:
+                        try:
+                            metrics["exchange_bytes_in"] += int(
+                                c.status().get("bytesIn") or 0)
+                        except Exception:  # noqa: BLE001 — metric only
+                            pass
             info.update(metrics)
         return Executor(self.catalog, stubs=stubs).execute(coord_plan)
-
     def sql_pandas(self, sql: str):
         return self.sql(sql).to_pandas()

@@ -355,7 +355,8 @@ class Engine:
         return cq
 
     def sql_distributed(self, sql: str, n_devices: int = 0,
-                        info: Optional[dict] = None):
+                        info: Optional[dict] = None,
+                        skew_threshold: float = 4.0):
         """Execute with every eligible heavy stage sharded over the device
         mesh — the SPMD analog of the reference's PlanFragmenter +
         AddExchanges + SqlQueryScheduler pipeline
@@ -396,7 +397,8 @@ class Engine:
         mesh = make_mesh(n_dev)
         stubs: dict = {}
         stages = {"mesh_stages": 0, "repartition_joins": 0,
-                  "broadcast_joins": 0, "group_aggs": 0, "global_aggs": 0}
+                  "broadcast_joins": 0, "group_aggs": 0, "global_aggs": 0,
+                  "skew_joins": 0}
 
         DECOMPOSABLE = ("sum", "count", "count_star", "min", "max", "avg")
 
@@ -515,6 +517,25 @@ class Engine:
                 b_shard = max(rb.capacity() // n_dev, 1)
                 lw = np.asarray(route_word(lb, lkeys, ranges, lb.num_rows))
                 rw = np.asarray(route_word(rb, rkeys, ranges, rb.num_rows))
+                # skew handling IN the shuffle (north star; the reference
+                # has none — SURVEY §2.8): the same histogram that sizes
+                # the exchange quota flags hot keys, and the join splits
+                # into a repartitioned cold half + a hot half where probe
+                # rows stay put and the few hot build rows broadcast
+                if (node.kind == "inner" and len(lkeys) == 1
+                        and node.residual is None and p_rows > 0):
+                    from ..parallel.skew import (detect_hot_keys,
+                                                 skew_aware_join)
+
+                    hot = detect_hot_keys(
+                        np.asarray(lb[lkeys[0]].data)[:p_rows], p_rows,
+                        n_dev, threshold=skew_threshold)
+                    if hot.size:
+                        out = skew_aware_join(
+                            mesh, lb, rb, lkeys[0], rkeys[0], ranges, hot)
+                        stages["skew_joins"] += 1
+                        return drop_temp(
+                            RecordBatch(out.columns, int(out.num_rows)))
                 pq = exchange_quota(lw, p_rows, n_dev, p_shard)
                 bq = exchange_quota(rw, b_rows, n_dev, b_shard)
                 pq_r = round_capacity(max(pq, 128))

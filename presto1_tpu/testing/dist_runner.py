@@ -90,7 +90,8 @@ class MultiHostRunner:
     no accelerator."""
 
     def __init__(self, n_workers: int = 2, catalog_spec: str = "tpch:tiny",
-                 shards_per_node: int = 1):
+                 shards_per_node: int = 1,
+                 broadcast_threshold: int = 100_000):
         self.registry = NodeRegistry(probe_interval_s=0.25).start()
         self.discovery = DiscoveryServer(self.registry).start()
         self.workers: List[subprocess.Popen] = []
@@ -119,7 +120,8 @@ class MultiHostRunner:
 
         catalog = TpchCatalog(arg or "tiny")
         self.engine = MultiHostEngine(catalog, self.registry,
-                                      shards_per_node=shards_per_node)
+                                      shards_per_node=shards_per_node,
+                                      broadcast_threshold=broadcast_threshold)
 
     def _wait_for_nodes(self, n: int, timeout_s: float = 60.0) -> None:
         deadline = time.time() + timeout_s

@@ -21,9 +21,22 @@ from test_tpch import assert_frames_match
 
 @pytest.fixture(scope="module")
 def runner():
+    # broadcast_threshold=0 forces repartition joins so the FIXED_HASH
+    # worker-to-worker exchange plane is what these tests exercise; the
+    # broadcast path has its own engine below (same workers)
     with MultiHostRunner(n_workers=2, catalog_spec="tpch:tiny",
-                         shards_per_node=2) as r:
+                         shards_per_node=2, broadcast_threshold=0) as r:
         yield r
+
+
+@pytest.fixture(scope="module")
+def broadcast_engine(runner):
+    """A second coordinator over the SAME worker fleet with broadcast
+    replication enabled for small build sides."""
+    from presto1_tpu.exec.dist_engine import MultiHostEngine
+
+    return MultiHostEngine(TpchCatalog("tiny"), runner.registry,
+                           shards_per_node=2, broadcast_threshold=100_000)
 
 
 @pytest.fixture(scope="module")
@@ -181,7 +194,8 @@ def test_distributed_dynamic_filtering(runner, local_engine):
 
     eng_off = MultiHostEngine(runner.engine.catalog, runner.registry,
                               shards_per_node=runner.engine.shards_per_node,
-                              dynamic_filtering=False)
+                              dynamic_filtering=False,
+                              broadcast_threshold=0)
     info_off = {}
     b = eng_off.sql(sql, info=info_off).to_pandas()
     assert_frames_match(b, expected, ordered=False)
@@ -224,3 +238,93 @@ def test_null_keys_hash_apart_from_zero():
     b = RecordBatch({"k": Column(data, BIGINT, validity=validity)}, 3)
     h = _key_hash_host(b, 3, ["k"])
     assert h[0] != h[1]  # value-0 row vs NULL row
+
+
+# ---------------------------------------------------------------- stage DAG
+
+
+def test_multistage_q3_runs_on_workers(runner, local_engine):
+    """Round-2 verdict item 3: a join-over-join query (Q3 shape) executes
+    ENTIRELY on workers as a recursive stage DAG — joins above joins,
+    grouped final aggregation partitioned across workers — and the
+    coordinator pulls only the final grouped rows (coordinator_bytes is
+    page overhead + result, not intermediate data)."""
+    info = {}
+    actual = runner.engine.sql(QUERIES[3], info=info).to_pandas()
+    expected = local_engine.sql_pandas(QUERIES[3])
+    assert_frames_match(actual, expected, ordered=True)
+    assert info["stages"] >= 4, info          # 2 scans + join + final agg
+    assert info["exchange_tasks"] >= 8, info  # join + final-agg stages
+    # coordinator sees only the (TopN-truncated per task) final pages —
+    # far below the ~30k-row lineitem join intermediates
+    assert info["coordinator_bytes"] < 200_000, info
+
+
+def test_multistage_three_table_join_grouped(runner, local_engine):
+    """Q5-class: 3+ joins, group-by over the join tree, all on workers."""
+    sql = ("select n_name, count(*) c, sum(l_extendedprice) s "
+           "from customer, orders, lineitem, nation "
+           "where c_custkey = o_custkey and l_orderkey = o_orderkey "
+           "and c_nationkey = n_nationkey "
+           "group by n_name order by n_name")
+    info = {}
+    actual = runner.engine.sql(sql, info=info).to_pandas()
+    expected = local_engine.sql_pandas(sql)
+    assert_frames_match(actual, expected, ordered=True)
+    assert info["stages"] >= 5, info
+
+
+def test_broadcast_join_distribution(broadcast_engine, runner, local_engine):
+    """DetermineJoinDistributionType analog: a small build side is
+    replicated to every probe task (BroadcastOutputBuffer over DCN) —
+    no FIXED_HASH repartition of the big side at all."""
+    sql = ("select n_name, count(*) c from supplier, nation "
+           "where s_nationkey = n_nationkey group by n_name order by n_name")
+    info = {}
+    actual = broadcast_engine.sql(sql, info=info).to_pandas()
+    expected = local_engine.sql_pandas(sql)
+    assert_frames_match(actual, expected, ordered=True)
+    assert info["broadcast_sources"] >= 1, info
+    info_part = {}
+    b = runner.engine.sql(sql, info=info_part).to_pandas()
+    assert_frames_match(b, expected, ordered=True)
+    assert info_part["broadcast_sources"] == 0, info_part
+
+
+def test_broadcast_left_outer_and_semi(broadcast_engine, local_engine):
+    for sql in [
+        "select c_mktsegment, count(o_orderkey) c from customer "
+        "left join orders on c_custkey = o_custkey "
+        "group by c_mktsegment order by c_mktsegment",
+        "select count(*) from lineitem where l_orderkey in "
+        "(select o_orderkey from orders where o_orderpriority = '1-URGENT')",
+    ]:
+        actual = broadcast_engine.sql(sql).to_pandas()
+        expected = local_engine.sql_pandas(sql)
+        assert_frames_match(actual, expected, ordered=False)
+
+
+def test_distributed_topn(runner, local_engine):
+    """Distributed TopN: every task sorts + truncates its partition, the
+    coordinator merges supersets — wire carries ~limit rows per task."""
+    sql = ("select l_orderkey, l_extendedprice from lineitem "
+           "order by l_extendedprice desc, l_orderkey limit 10")
+    info = {}
+    actual = runner.engine.sql(sql, info=info).to_pandas()
+    expected = local_engine.sql_pandas(sql)
+    assert_frames_match(actual, expected, ordered=True)
+    # 8 tasks x 10 rows max on the wire, not 60k lineitem rows
+    assert info["coordinator_bytes"] < 100_000, info
+
+
+def test_distinct_agg_distributes_by_group(runner, local_engine):
+    """count(distinct) with group keys: repartition on the group keys
+    co-locates each group wholly, so the distinct aggregate is exact on
+    workers (no split_aggregate needed)."""
+    sql = ("select l_returnflag, count(distinct l_suppkey) d "
+           "from lineitem group by l_returnflag order by l_returnflag")
+    info = {}
+    actual = runner.engine.sql(sql, info=info).to_pandas()
+    expected = local_engine.sql_pandas(sql)
+    assert_frames_match(actual, expected, ordered=True)
+    assert info["exchange_tasks"] >= 4, info  # grouped stage ran on workers
