@@ -166,6 +166,38 @@ def from_numpy(arrays: Dict[str, np.ndarray], types: Dict[str, SqlType],
     return RecordBatch(cols, n or 0)
 
 
+def hash_strings_host(strings) -> "np.ndarray":
+    """Vectorized, width-independent uint64 hash of a numpy 'U' array.
+
+    numpy 'U' storage is fixed-width UTF-32, so ``view(uint32)`` exposes a
+    [n, W] codepoint matrix (W = longest entry, zero-padded).  The hash is
+    a positional polynomial Σ cp[i]·M^(i+1) ⊕ len·C — padding codepoints
+    are zero and contribute nothing, so two hosts with different local
+    dictionary widths produce identical hashes for equal values.  Replaces
+    a per-entry Python md5 loop (hostile at SF100 dictionary sizes)."""
+    import numpy as np
+
+    d = np.asarray(strings, dtype="U")
+    nd = len(d)
+    if nd == 0:
+        return np.zeros(0, np.uint64)
+    w = max(d.dtype.itemsize // 4, 1)
+    cps = np.frombuffer(d.tobytes(), dtype=np.uint32).reshape(
+        nd, w).astype(np.uint64)
+    m = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        powers = np.empty(w, np.uint64)
+        acc = m
+        for i in range(w):  # W is small (longest string), not dict size
+            powers[i] = acc
+            acc = acc * m
+        h = (cps * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        lengths = (cps != 0).sum(axis=1).astype(np.uint64)
+        h ^= lengths * np.uint64(0xFF51AFD7ED558CCD)
+    return h
+
+
+
 def encode_dictionary(values: np.ndarray):
     """Sort-dictionary-encode a host string array → (dictionary, int32 codes).
 

@@ -80,6 +80,14 @@ class Table:
             self._ranges[name] = (int(jnp.min(data)), int(jnp.max(data)))
         return self._ranges[name]
 
+    def column_stats(self, name: str):
+        """Connector-reported ``sql.stats.ColStats`` for a column, or None
+        when the connector has none (reference:
+        ``ConnectorMetadata.getTableStatistics`` /
+        ``spi/statistics/ColumnStatistics``).  Consumed by the optimizer's
+        selectivity/join/aggregation derivation (``sql/stats.py``)."""
+        return None
+
 
 class Catalog:
     def __init__(self):
@@ -109,6 +117,18 @@ class TpchTable(Table):
         if self._num_rows is None:
             self._num_rows = self.gen.num_rows(self.name)
         return self._num_rows
+
+    def column_stats(self, name: str):
+        """Analytic TPC-H column statistics (spec-derived, SF-scaled) —
+        the ``plugin/trino-tpch/.../statistics/`` analog."""
+        from ..sql.stats import ColStats
+        from ..tpch.schema import column_stats as _cs
+
+        t = _cs(name, self.gen.sf)
+        if t is None:
+            return None
+        ndv, lo, hi = t
+        return ColStats(ndv=ndv, lo=lo, hi=hi)
 
     def _cache_path(self, column: str) -> Optional[str]:
         if self.cache_dir is None:

@@ -437,16 +437,64 @@ class MultiHostEngine:
             raise QueryFailed(str(errors[0]))
 
         if info is not None:
-            # DCN bytes each mid-DAG consumer pulled from its peers
+            # per-task stats rollup over DCN (OperatorStats -> TaskStats ->
+            # StageStats, server/TaskResource.java task info): merge every
+            # task's operator tree per stage
+            stage_stats: List[dict] = []
             for sid, st in enumerate(stages):
-                if st.sources:
-                    for c in stage_clients[sid]:
-                        try:
-                            metrics["exchange_bytes_in"] += int(
-                                c.status().get("bytesIn") or 0)
-                        except Exception:  # noqa: BLE001 — metric only
-                            pass
+                merged: Dict[tuple, dict] = {}
+                for c in stage_clients[sid]:
+                    try:
+                        tinfo = c.status()
+                    except Exception:  # noqa: BLE001 — metric only
+                        continue
+                    if st.sources:
+                        metrics["exchange_bytes_in"] += int(
+                            tinfo.get("bytesIn") or 0)
+                    for op in tinfo.get("operatorStats") or []:
+                        key = tuple(op["path"])
+                        m = merged.setdefault(
+                            key, {"path": op["path"], "name": op["name"],
+                                  "rows": 0, "wallMs": 0.0, "tasks": 0})
+                        m["rows"] += op["rows"]
+                        m["wallMs"] += op["wallMs"]
+                        m["tasks"] += 1
+                stage_stats.append({
+                    "stage": sid,
+                    "distribution": st.distribution,
+                    "table": st.table,
+                    "partitionKeys": st.partition_keys,
+                    "tasks": len(stage_clients[sid]),
+                    "operators": [merged[k] for k in sorted(merged)],
+                })
+            metrics["stage_stats"] = stage_stats
             info.update(metrics)
         return Executor(self.catalog, stubs=stubs).execute(coord_plan)
+
+    def explain_analyze(self, sql: str) -> str:
+        """Distributed EXPLAIN ANALYZE: execute, then render the merged
+        per-stage operator stats tree (the planprinter analog over
+        worker-shipped OperatorStats)."""
+        from ..sql.logical import plan_tree
+
+        info: dict = {}
+        self.sql(sql, info=info)
+        lines = [f"Stages: {info.get('stages', 0)}  "
+                 f"coordinator_bytes={info.get('coordinator_bytes', 0)}  "
+                 f"exchange_bytes_in={info.get('exchange_bytes_in', 0)}  "
+                 f"dynamic_filter={'on' if info.get('df_applied') else 'off'}"]
+        for ss in info.get("stage_stats", []):
+            part = (f" FIXED_HASH{ss['partitionKeys']}"
+                    if ss["partitionKeys"] else "")
+            src = f" source={ss['table']}" if ss["table"] else ""
+            lines.append(f"Stage {ss['stage']} [{ss['distribution']}]"
+                         f"{src}{part}  tasks={ss['tasks']}")
+            for op in ss["operators"]:
+                depth = len(op["path"])
+                lines.append(f"  {'  ' * depth}{op['name']}   "
+                             f"[{op['wallMs']:.1f} ms across "
+                             f"{op['tasks']} tasks, {op['rows']} rows]")
+        return "\n".join(lines)
+
     def sql_pandas(self, sql: str):
         return self.sql(sql).to_pandas()

@@ -354,6 +354,17 @@ class Engine:
         cq.scan_tables = self.scan_tables(plan)
         return cq
 
+    def compile_grouped(self, sql: str, n_groups: int = 4,
+                        user: Optional[str] = None):
+        """Compile with grouped execution: the dominant table is
+        row-sharded into ``n_groups`` splits processed one at a time
+        (compiled-path spill / Lifespan analog — ``exec/grouped.py``),
+        bounding peak HBM to ~1/n_groups of the scan working set."""
+        from .grouped import GroupedCompiledQuery
+
+        return GroupedCompiledQuery(self, self.plan(sql, user=user),
+                                    n_groups)
+
     def sql_distributed(self, sql: str, n_devices: int = 0,
                         info: Optional[dict] = None,
                         skew_threshold: float = 4.0):

@@ -101,6 +101,35 @@ class ParquetTable(Table):
             return v
         return None
 
+    def column_stats(self, name: str):
+        """min/max from parquet row-group statistics (free — already in
+        the footer); NDV is not stored by parquet, so it stays unknown.
+        Reference: lib/trino-parquet statistics + the hive connector's
+        stats provider."""
+        from ..sql.stats import ColStats
+
+        md = self._pf.metadata
+        cols = [md.schema.column(i).name for i in range(md.num_columns)]
+        if name not in cols:
+            return None
+        ci = cols.index(name)
+        lo = hi = None
+        groups = (self._row_groups if self._row_groups is not None
+                  else range(md.num_row_groups))
+        for g in groups:
+            st = md.row_group(g).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            glo = self._stat_value(name, st.min)
+            ghi = self._stat_value(name, st.max)
+            if glo is None or ghi is None or isinstance(glo, str):
+                return None
+            lo = glo if lo is None else min(lo, glo)
+            hi = ghi if hi is None else max(hi, ghi)
+        if lo is None:
+            return None
+        return ColStats(ndv=None, lo=float(lo), hi=float(hi))
+
     def pruned(self, domain) -> Optional[Table]:
         """Row-group pruning on parquet statistics (reference:
         parquet predicate pushdown, lib/trino-parquet PredicateUtils /

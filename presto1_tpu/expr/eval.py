@@ -57,6 +57,31 @@ def _scale_of(t: SqlType) -> int:
     return t.scale if t.kind == "decimal" else 0  # type: ignore[attr-defined]
 
 
+# HyperLogLog precision for approx_distinct: m = 2^11 = 2048 registers,
+# standard error 1.04/sqrt(m) ≈ 2.3% — Trino's default
+# (operator/aggregation/ApproximateCountDistinctAggregations.java).
+HLL_P = 11
+HLL_M = 1 << HLL_P
+
+
+def _splitmix63(bits):
+    """splitmix64 finalizer over int64 bits, masked to 63 bits (nonneg)."""
+    x = bits.astype(jnp.uint64)
+    x = (x ^ (x >> jnp.uint64(30))) * jnp.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> jnp.uint64(27))) * jnp.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> jnp.uint64(31))
+    return (x & jnp.uint64((1 << 63) - 1)).astype(jnp.int64)
+
+
+def _splitmix63_host(bits: "np.ndarray") -> "np.ndarray":
+    with np.errstate(over="ignore"):
+        x = bits.astype(np.uint64)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+        return (x & np.uint64((1 << 63) - 1)).astype(np.int64)
+
+
 def _rescale(data, from_scale: int, to_scale: int):
     if to_scale == from_scale:
         return data
@@ -422,6 +447,35 @@ def _eval_call(expr: Call, batch: RecordBatch):
     if fn == "sqrt":
         a, va, _ = _eval(expr.args[0], batch)
         return _norm(jnp.sqrt(_to_double(a, expr.args[0].type)), va), va, None
+
+    if fn == "__hll_hash":
+        # 63-bit avalanche hash of the value's int64 bits (splitmix64) —
+        # the register/rho source for approx_distinct's HLL sketch.
+        # Strings never reach here: they fold through the dictionary
+        # (host hash_strings_host), so the hash is value-based and
+        # identical on every host.
+        a, va, _ = _eval(expr.args[0], batch)
+        t = expr.args[0].type
+        if t.kind in ("double", "real"):
+            import jax
+
+            bits = jax.lax.bitcast_convert_type(
+                a.astype(jnp.float64), jnp.int64)
+        else:
+            bits = a.astype(jnp.int64)
+        return _norm(_splitmix63(bits), va), va, None
+
+    if fn == "__hll_reg":  # low HLL_P bits -> register index
+        a, va, _ = _eval(expr.args[0], batch)
+        return _norm(a & (HLL_M - 1), va), va, None
+
+    if fn == "__hll_rho":  # leading-zero run of the remaining bits, +1
+        import jax
+
+        a, va, _ = _eval(expr.args[0], batch)
+        w = a >> HLL_P  # 63-HLL_P significant bits
+        rho = jax.lax.clz(w.astype(jnp.int64)) - (HLL_P + 1) + 1
+        return _norm(rho.astype(jnp.int64), va), va, None
 
     if fn in ("ln", "exp", "log2", "log10"):
         a, va, _ = _eval(expr.args[0], batch)
@@ -834,6 +888,27 @@ def _eval_strings(expr: Expr, values: np.ndarray):
     assert isinstance(expr, Call)
     fn = expr.fn
     args = [_eval_strings(a, values) for a in expr.args]
+    if fn == "__hll_hash":
+        # value-based (host) string hash — identical on every host, so
+        # HLL registers merge correctly across the DCN plane
+        from ..batch import hash_strings_host
+
+        h = hash_strings_host(np.asarray(args[0], dtype="U"))
+        return _splitmix63_host(h.view(np.int64))
+    if fn == "__hll_reg":
+        return np.asarray(args[0], dtype=np.int64) & (HLL_M - 1)
+    if fn == "__hll_rho":
+        w = np.asarray(args[0], dtype=np.int64) >> HLL_P
+        nbits = 64 - HLL_P - 1
+        rho = np.zeros(len(w), np.int64)
+        wz = w.astype(np.uint64)
+        # vectorized leading-zero count over the (63-HLL_P)-bit window
+        lz = np.full(len(w), 64, np.int64)
+        nz = wz != 0
+        lz[nz] = 63 - np.floor(np.log2(wz[nz].astype(np.float64))).astype(
+            np.int64)
+        rho = np.minimum(lz - (HLL_P + 1) + 1, nbits + 1)
+        return rho
     if fn == "like":
         return _like(args[0], expr.args[1].value)
     if fn == "substring":

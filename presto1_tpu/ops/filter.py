@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from ..batch import Column, RecordBatch
 from ..expr.ir import Expr
 from ..expr.eval import eval_expr, eval_predicate
+from .common import iota
 
 
 def filter_mask(predicate: Expr, batch: RecordBatch) -> jnp.ndarray:
@@ -70,9 +71,18 @@ def compact(batch: RecordBatch, mask: jnp.ndarray,
         payload.append(c.data)
         if c.validity is not None:
             payload.append(c.validity.astype(jnp.int8))
+    count = jnp.sum(mask)
+    # wide batches: a variadic sort carrying EVERY column as an operand
+    # makes the TPU AOT compiler fall off a cliff (SF1 Q2's 30-operand
+    # sort compiled for >45 min; every narrow fragment compiles in
+    # seconds).  Sort only a permutation (2 operands) and move the
+    # payload with the width-class packed gathers instead.
+    if len(payload) > 8:
+        _, perm = jax.lax.sort(
+            (key, iota(n).astype(jnp.int32)), num_keys=1, is_stable=True)
+        return batch.gather(perm[:cap], count)
     out = jax.lax.sort(tuple([key] + payload), num_keys=1)
     sorted_payload = list(out[1:])
-    count = jnp.sum(mask)
     cols = {}
     i = 0
     for nm in names:

@@ -62,9 +62,29 @@ def sort_batch(batch: RecordBatch, keys: List[SortKey],
         if c.validity is not None:
             vnames.append(nm)
             payload.append(c.validity.astype(jnp.int8))
-    operands = [dead] + [_sortable(k, n) for k in keys] + payload
     nkeys = 1 + len(keys)
-    out = jax.lax.sort(tuple(operands), num_keys=nkeys)
+    key_ops = [dead] + [_sortable(k, n) for k in keys]
+    if len(payload) > 8:
+        # wide outputs: a variadic sort with one operand per column makes
+        # the TPU AOT compiler fall off a cliff (>45 min at 30 operands,
+        # SF1 Q2) — sort a permutation and move columns with the packed
+        # gathers instead
+        out = jax.lax.sort(tuple(key_ops) + (iota(n).astype(jnp.int32),),
+                           num_keys=nkeys)
+        perm = out[nkeys]
+        res = batch.gather(perm, batch.num_rows)
+        if limit is not None:
+            cap = min(limit, n)
+            res = RecordBatch(
+                {name: c.with_data(
+                    c.data[:cap],
+                    c.validity[:cap] if c.validity is not None else None)
+                 for name, c in res.columns.items()},
+                jnp.minimum(res.num_rows, cap)
+                if not isinstance(res.num_rows, int)
+                else min(res.num_rows, cap))
+        return res
+    out = jax.lax.sort(tuple(key_ops + payload), num_keys=nkeys)
     sorted_payload = list(out[nkeys:])
     cols = {}
     i = 0

@@ -166,6 +166,19 @@ def window(
             upto = jnp.cumsum(peer_b.astype(jnp.int64))
             at_pstart = jnp.take(upto, part_start)
             v, valid = upto - at_pstart + 1, None
+        elif call.fn == "percent_rank":
+            # (rank - 1) / (partition rows - 1); 0 for 1-row partitions
+            # (reference: operator/window/PercentRankFunction.java)
+            size = part_end - part_start
+            v = ((peer_start - part_start).astype(jnp.float64)
+                 / jnp.maximum(size - 1, 1))
+            v, valid = jnp.where(size <= 1, 0.0, v), None
+        elif call.fn == "cume_dist":
+            # rows <= current peer group / partition rows
+            # (reference: operator/window/CumulativeDistributionFunction)
+            size = jnp.maximum(part_end - part_start, 1)
+            v = (peer_end - part_start).astype(jnp.float64) / size
+            valid = None
         elif call.fn == "ntile":
             b = int(call.param or 1)
             idx = pos - part_start

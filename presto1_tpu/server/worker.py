@@ -37,6 +37,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
 from urllib import request as urlrequest
 
+from ..batch import hash_strings_host as _hash_strings_host
+
 PAGE_MAX_ROWS = 65536
 
 
@@ -63,6 +65,10 @@ class WorkerTask:
         # coordinator asked for them (DynamicFilterService's worker side —
         # server/TaskResource.java:221 dynamic-filter fetch endpoint)
         self.domains: Optional[dict] = None
+        # per-operator stats rollup shipped in task info (the reference's
+        # OperatorStats -> TaskStats path, server/TaskResource.java task
+        # info; round-2 VERDICT item 9)
+        self.operator_stats: Optional[list] = None
         self.created = time.time()
         self.heartbeat = time.time()
         self.done = threading.Event()
@@ -76,7 +82,8 @@ class WorkerTask:
                 "pages": sum(len(b) for b in self.buffers),
                 "buffers": len(self.buffers),
                 "bytesIn": self.bytes_in, "bytesOut": self.bytes_out,
-                "domains": self.domains}
+                "domains": self.domains,
+                "operatorStats": self.operator_stats}
 
 
 def _paginate(out, lo0: int, n: int) -> list:
@@ -98,37 +105,6 @@ def _paginate(out, lo0: int, n: int) -> list:
         if hi >= n:
             break
     return pages
-
-
-def _hash_strings_host(strings) -> "np.ndarray":
-    """Vectorized, width-independent uint64 hash of a numpy 'U' array.
-
-    numpy 'U' storage is fixed-width UTF-32, so ``view(uint32)`` exposes a
-    [n, W] codepoint matrix (W = longest entry, zero-padded).  The hash is
-    a positional polynomial Σ cp[i]·M^(i+1) ⊕ len·C — padding codepoints
-    are zero and contribute nothing, so two hosts with different local
-    dictionary widths produce identical hashes for equal values.  Replaces
-    a per-entry Python md5 loop (hostile at SF100 dictionary sizes)."""
-    import numpy as np
-
-    d = np.asarray(strings, dtype="U")
-    nd = len(d)
-    if nd == 0:
-        return np.zeros(0, np.uint64)
-    w = max(d.dtype.itemsize // 4, 1)
-    cps = np.frombuffer(d.tobytes(), dtype=np.uint32).reshape(
-        nd, w).astype(np.uint64)
-    m = np.uint64(0x9E3779B97F4A7C15)
-    with np.errstate(over="ignore"):
-        powers = np.empty(w, np.uint64)
-        acc = m
-        for i in range(w):  # W is small (longest string), not dict size
-            powers[i] = acc
-            acc = acc * m
-        h = (cps * powers[None, :]).sum(axis=1, dtype=np.uint64)
-        lengths = (cps != 0).sum(axis=1).astype(np.uint64)
-        h ^= lengths * np.uint64(0xFF51AFD7ED558CCD)
-    return h
 
 
 # hash value for NULL lanes: distinct from any bit pattern a legitimate
@@ -300,9 +276,22 @@ class WorkerRuntime:
                 task.bytes_in += nbytes
                 path = tuple(int(x) for x in path_str.split(",") if x != "")
                 stubs[path] = batch
-            out = Executor(catalog, stubs=stubs).execute(plan)
+            from ..exec.stats import QueryStats
+
+            qstats = QueryStats()
+            t0 = time.time()
+            out = Executor(catalog, stubs=stubs,
+                           stats=qstats).execute(plan)
             n = out.num_rows if isinstance(out.num_rows, int) \
                 else int(out.num_rows)
+            qstats.wall_s = time.time() - t0
+            task.operator_stats = [
+                {"path": list(path), "name": op.name,
+                 "wallMs": round(op.wall_s * 1000, 3),
+                 "rows": int(op.output_rows),
+                 "invocations": op.invocations}
+                for path, op in sorted(qstats.operators.items())
+            ]
 
             collect = body.get("collect_domains")
             if collect:

@@ -33,6 +33,7 @@ def optimize(plan: LogicalNode, catalog) -> LogicalNode:
     plan = _extract_equis(plan)
     plan = _pushdown(plan, [])
     plan = _reorder(plan, catalog)
+    plan = _rewrite_approx_distinct(plan)
     plan = _rewrite_distinct(plan)
     plan = _reduce_group_keys(plan, catalog)
     plan = _prune(plan, set(_needed_at_top(plan)))
@@ -229,23 +230,15 @@ def _wrap(node: LogicalNode, conjuncts: List[ir.Expr]) -> LogicalNode:
 
 
 def _estimate(node: LogicalNode, catalog) -> float:
-    if isinstance(node, Scan):
-        return float(catalog.table(node.table).num_rows)
-    if isinstance(node, Filter):
-        return _estimate(node.child, catalog) * 0.25
-    if isinstance(node, Aggregate):
-        return max(_estimate(node.child, catalog) * 0.1, 1.0)
-    if isinstance(node, Join):
-        l = _estimate(node.left, catalog)
-        r = _estimate(node.right, catalog)
-        if node.kind in ("semi", "anti"):
-            return l * 0.5
-        return max(l, r)
-    if isinstance(node, Union):
-        return sum(_estimate(c, catalog) for c in node.inputs)
-    if isinstance(node, (Project, Sort, Limit, Output, WindowNode)):
-        return _estimate(node.children[0], catalog)
-    return 1000.0
+    """Cardinality estimate driving join order and distribution choice.
+
+    Backed by the NDV/min-max/selectivity derivation in ``sql/stats.py``
+    (the cost/FilterStatsCalculator + JoinStatsRule analog); columns
+    without connector statistics fall back to the fixed coefficients the
+    pre-stats heuristic used."""
+    from .stats import derive
+
+    return derive(node, catalog).rows
 
 
 def _unique_keysets(node: LogicalNode, catalog) -> Set[frozenset]:
@@ -452,6 +445,142 @@ def _reduce_group_keys(node: LogicalNode, catalog) -> LogicalNode:
 
 
 # ------------------------------------------------------- distinct rewrite
+
+
+def _rewrite_approx_distinct(node: LogicalNode) -> LogicalNode:
+    """approx_distinct(x) -> HyperLogLog over a two-level aggregation.
+
+    The sketch is the canonical HLL with m = 2^11 registers: the inner
+    aggregate groups by (group keys, register index) and keeps max(rho)
+    — that max IS the mergeable sketch state, so every partial/final
+    split and repartition path merges registers correctly with no new
+    operator machinery.  The outer aggregate computes the raw estimator
+    αm·m²/Σ2^-M with the linear-counting small-range correction.
+    Reference: ``operator/aggregation/ApproximateCountDistinctAggregations``
+    (airlift HyperLogLog, default standard error 2.3%).
+
+    Other aggregates in the same SELECT are recombined exactly the way
+    ``_rewrite_distinct`` recombines them (sum→sum, count→sum, min/max,
+    avg→sum/count) — they see each (group, register) subgroup once.
+    """
+    node = node.with_children(
+        [_rewrite_approx_distinct(c) for c in node.children])
+    if not isinstance(node, Aggregate) \
+            or not any(a.fn == "approx_distinct" for a in node.aggs):
+        return node
+    approx = [a for a in node.aggs if a.fn == "approx_distinct"]
+    plain = [a for a in node.aggs
+             if a.fn != "approx_distinct" and not a.distinct]
+    if len(approx) > 1 or any(a.distinct for a in node.aggs):
+        raise NotImplementedError(
+            "approx_distinct mixed with distinct aggregates or repeated")
+    a = approx[0]
+    from ..expr.eval import HLL_M
+    from ..types import BIGINT, DOUBLE, BOOLEAN
+
+    child = node.child
+    h = ir.call("__hll_hash", a.arg, type=BIGINT)
+    reg_sym = f"{a.symbol}_reg"
+    passthrough = [(s, ir.ColumnRef(s, t)) for s, t in child.schema.items()]
+    child = Project(child, passthrough +
+                    [(reg_sym, ir.call("__hll_reg", h, type=BIGINT))])
+    rho_sym = f"{a.symbol}_rho"
+    inner_aggs = [AggCall(rho_sym, "max",
+                          ir.call("__hll_rho", h, type=BIGINT), False,
+                          BIGINT)]
+    ssym, csym = f"{a.symbol}_s", f"{a.symbol}_c"
+
+    def dref(s):
+        return ir.ColumnRef(s, DOUBLE)
+
+    def lit(v):
+        return ir.Literal(float(v), DOUBLE)
+
+    # Σ 2^-M over OCCUPIED registers, and the occupied count
+    pow_term = ir.call(
+        "power", lit(2.0),
+        ir.call("neg", ir.call("cast", ir.ColumnRef(rho_sym, BIGINT),
+                               type=DOUBLE), type=DOUBLE),
+        type=DOUBLE)
+    outer_aggs = [
+        AggCall(ssym, "sum", pow_term, False, DOUBLE),
+        AggCall(csym, "count", ir.ColumnRef(rho_sym, BIGINT), False,
+                BIGINT),
+    ]
+    post: List[Tuple[str, ir.Expr]] = []
+    inner_extra, outer_extra, plain_post = _split_plain_aggs(plain)
+    inner_aggs += inner_extra
+    outer_aggs += outer_extra
+    post += plain_post
+
+    inner = Aggregate(child, node.group + [reg_sym], inner_aggs)
+    outer = Aggregate(inner, node.group, outer_aggs)
+
+    m = float(HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    cnt = ir.call("cast", ir.ColumnRef(csym, BIGINT), type=DOUBLE)
+    v_zero = ir.call("-", lit(m), cnt, type=DOUBLE)  # empty registers
+    s_tot = ir.call("+", dref(ssym), v_zero, type=DOUBLE)
+    raw = ir.call("/", lit(alpha * m * m), s_tot, type=DOUBLE)
+    lc = ir.call("*", lit(m),
+                 ir.call("ln", ir.call("/", lit(m), v_zero, type=DOUBLE),
+                         type=DOUBLE), type=DOUBLE)
+    small = ir.call("and",
+                    ir.call("<=", raw, lit(2.5 * m), type=BOOLEAN),
+                    ir.call(">", v_zero, lit(0.0), type=BOOLEAN),
+                    type=BOOLEAN)
+    est = ir.call("case", small, lc, raw, type=DOUBLE)
+    est = ir.call("cast", ir.call("round", est, type=DOUBLE), type=BIGINT)
+
+    outs = [(g, ir.ColumnRef(g, outer.schema[g])) for g in node.group]
+    outs.append((a.symbol, est))
+    outs.extend(post)
+    return Project(outer, outs)
+
+
+def _split_plain_aggs(plain):
+    """Partial/final/post decomposition of plain aggregates riding along a
+    two-level rewrite (shared by approx_distinct; mirrors the inline logic
+    of ``_rewrite_distinct``)."""
+    from ..types import BIGINT, DOUBLE
+
+    inner_aggs, outer_aggs, post = [], [], []
+    for p in plain:
+        if p.fn in ("min", "max", "sum"):
+            inner_aggs.append(AggCall(p.symbol, p.fn, p.arg, False, p.type))
+            outer_aggs.append(AggCall(
+                p.symbol, p.fn, ir.ColumnRef(p.symbol, p.type), False,
+                p.type))
+            post.append((p.symbol, ir.ColumnRef(p.symbol, p.type)))
+        elif p.fn in ("count", "count_star"):
+            psym = f"{p.symbol}_p"
+            inner_aggs.append(AggCall(psym, p.fn, p.arg, False, BIGINT))
+            outer_aggs.append(AggCall(
+                p.symbol, "sum", ir.ColumnRef(psym, BIGINT), False, BIGINT))
+            post.append((p.symbol, ir.ColumnRef(p.symbol, BIGINT)))
+        elif p.fn == "avg":
+            t = p.arg.type
+            if t.kind == "decimal":
+                from ..types import DecimalType
+                st = DecimalType(38, t.scale) if t.scale <= 4 else DOUBLE
+            elif t.kind == "integer":
+                st = BIGINT
+            else:
+                st = t
+            ssym, csym = f"{p.symbol}_s", f"{p.symbol}_c"
+            inner_aggs.append(AggCall(ssym, "sum", p.arg, False, st))
+            inner_aggs.append(AggCall(csym, "count", p.arg, False, BIGINT))
+            outer_aggs.append(AggCall(
+                ssym, "sum", ir.ColumnRef(ssym, st), False, st))
+            outer_aggs.append(AggCall(
+                csym, "sum", ir.ColumnRef(csym, BIGINT), False, BIGINT))
+            num = ir.call("cast", ir.ColumnRef(ssym, st), type=DOUBLE)
+            den = ir.call("cast", ir.ColumnRef(csym, BIGINT), type=DOUBLE)
+            post.append((p.symbol, ir.call("/", num, den, type=DOUBLE)))
+        else:
+            raise NotImplementedError(
+                f"{p.fn} mixed with approx_distinct")
+    return inner_aggs, outer_aggs, post
 
 
 def _rewrite_distinct(node: LogicalNode) -> LogicalNode:

@@ -227,7 +227,7 @@ class Planner:
             if fn in ("row_number", "rank", "dense_rank", "count",
                       "ntile"):
                 t = BIGINT
-            elif fn == "avg":
+            elif fn in ("avg", "percent_rank", "cume_dist"):
                 t = DOUBLE
             elif fn == "sum":
                 t = agg_output_type("sum", arg_ir.type)
@@ -294,12 +294,16 @@ class Planner:
             return ir.call("max2", x, lit(0.0), type=DOUBLE)
 
         if fn == "approx_distinct":
+            # HyperLogLog sketch (reference:
+            # ApproximateCountDistinctAggregations, default σ≈2.3%).  The
+            # optimizer rewrites this marker into a two-level aggregation
+            # over 2048 registers — max(rho) per register IS the mergeable
+            # sketch, so it distributes through every partial/final and
+            # repartition path with no new operator state.
             arg = conv.convert(a.args[0])
             sym = self.symbol(fn)
-            # exact distinct count: the sorted-aggregation design makes
-            # exact counting as cheap as a sketch, and it is mergeable
-            # across partitions/shards by construction
-            aggcalls.append(AggCall(sym, "count", arg, True, BIGINT))
+            aggcalls.append(AggCall(sym, "approx_distinct", arg, False,
+                                    BIGINT))
             return ir.ColumnRef(sym, BIGINT)
         if fn in ("arbitrary", "any_value"):
             arg = conv.convert(a.args[0])

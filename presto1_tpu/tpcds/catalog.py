@@ -43,6 +43,40 @@ class TpcdsTable(Table):
                       else jnp.asarray(c.validity),
                       dictionary=c.dictionary)
 
+    def column_stats(self, name: str):
+        """Column statistics derived from the generator's own structure
+        (PK ranges, FK targets, date SK windows) — the
+        plugin/trino-tpcds stats analog, with no per-query hardcoding."""
+        from ..sql.stats import ColStats
+        from .dbgen import D_SK_EPOCH, FK_TARGETS, SALES_SK_LO, SALES_SK_HI
+
+        n = self.num_rows
+        if (name,) in [tuple(k) for k in self.unique_keys]:
+            if name == "d_date_sk":
+                return ColStats(float(n), float(D_SK_EPOCH),
+                                float(D_SK_EPOCH + n - 1))
+            return ColStats(float(n), 1.0, float(n))
+        if name == "d_year":
+            years = max(n // 365, 1)
+            return ColStats(float(years), 1900.0, 1900.0 + n / 365.0)
+        if name == "d_moy":
+            return ColStats(12.0, 1.0, 12.0)
+        if name == "d_qoy":
+            return ColStats(4.0, 1.0, 4.0)
+        if name == "d_dom":
+            return ColStats(31.0, 1.0, 31.0)
+        if name.endswith("date_sk"):
+            width = SALES_SK_HI - SALES_SK_LO + 1
+            return ColStats(float(width), float(SALES_SK_LO),
+                            float(SALES_SK_HI))
+        if name.endswith("time_sk"):
+            return ColStats(86400.0, 0.0, 86399.0)
+        for suffix, target in FK_TARGETS.items():
+            if name.endswith(suffix) and self.name != target:
+                t = float(self.gen.num_rows(target))
+                return ColStats(t, 1.0, t)
+        return None
+
 
 class TpcdsCatalog(Catalog):
     """schema 'tiny' = SF0.01 (like the reference's tpch tiny)."""

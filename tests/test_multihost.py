@@ -328,3 +328,39 @@ def test_distinct_agg_distributes_by_group(runner, local_engine):
     expected = local_engine.sql_pandas(sql)
     assert_frames_match(actual, expected, ordered=True)
     assert info["exchange_tasks"] >= 4, info  # grouped stage ran on workers
+
+
+def test_approx_distinct_merges_across_hosts(runner, local_engine):
+    """HLL registers merge by max through the partial/final DCN split, so
+    the multihost estimate is IDENTICAL to the single-host one (same
+    sketch, same registers)."""
+    for sql in [
+        "select approx_distinct(l_suppkey) d from lineitem",
+        "select l_returnflag f, approx_distinct(l_partkey) d from lineitem "
+        "group by l_returnflag order by l_returnflag",
+    ]:
+        a = runner.sql_pandas(sql)
+        b = local_engine.sql_pandas(sql)
+        assert_frames_match(a, b, ordered="order by" in sql)
+
+
+def test_distributed_explain_analyze(runner):
+    """Per-task stats rollup (round-2 verdict item 9): operator stats ship
+    in task info over DCN and merge per stage into an EXPLAIN ANALYZE
+    rendering."""
+    info = {}
+    runner.engine.sql(
+        "select c_mktsegment, count(*) c from customer, orders "
+        "where c_custkey = o_custkey group by c_mktsegment", info=info)
+    ss = info["stage_stats"]
+    assert len(ss) == info["stages"]
+    # every scheduled task contributed an operator tree with real rows
+    for stage in ss:
+        assert stage["operators"], stage
+        total_rows = sum(op["rows"] for op in stage["operators"])
+        assert total_rows > 0
+        assert all(op["tasks"] == stage["tasks"]
+                   for op in stage["operators"])
+    text = runner.engine.explain_analyze(
+        "select count(*) from lineitem where l_quantity < 10")
+    assert "Stage 0" in text and "Aggregate" in text and "ms across" in text

@@ -67,10 +67,54 @@ def test_regr(engine, li):
     assert np.isclose(out.i[0], intercept, rtol=1e-6)
 
 
-def test_approx_distinct_exact(engine, li):
+def test_approx_distinct_hll_accuracy(engine, li):
+    """approx_distinct is a real HLL sketch now (m=2048, sigma~2.3%);
+    assert within 4 sigma of the true cardinality."""
     out = engine.sql(
         "select approx_distinct(l_orderkey) d from lineitem").to_pandas()
-    assert int(out.d[0]) == li.l_orderkey.nunique()
+    true = li.l_orderkey.nunique()
+    assert abs(int(out.d[0]) - true) <= max(4 * 0.023 * true, 2), \
+        (int(out.d[0]), true)
+
+
+def test_approx_distinct_small_linear_counting(engine, li):
+    """Tiny cardinalities hit the linear-counting correction and must be
+    near-exact."""
+    out = engine.sql(
+        "select approx_distinct(l_returnflag) d from lineitem").to_pandas()
+    assert int(out.d[0]) == li.l_returnflag.nunique()
+    ls = engine.catalog.table("lineitem").batch(
+        ["l_linestatus"]).to_pandas()
+    out = engine.sql(
+        "select approx_distinct(l_linestatus) e from lineitem").to_pandas()
+    assert int(out.e[0]) == ls.l_linestatus.nunique()
+
+
+def test_approx_distinct_grouped_with_plain_aggs(engine):
+    li = engine.catalog.table("lineitem").batch(
+        ["l_returnflag", "l_suppkey", "l_quantity"]).to_pandas()
+    out = engine.sql(
+        "select l_returnflag f, approx_distinct(l_suppkey) d, count(*) c, "
+        "sum(l_quantity) s from lineitem group by l_returnflag "
+        "order by l_returnflag").to_pandas()
+    ref = li.groupby("l_returnflag").agg(
+        d=("l_suppkey", "nunique"), c=("l_suppkey", "size"),
+        s=("l_quantity", "sum")).reset_index()
+    for i in range(len(ref)):
+        true = int(ref.d[i])
+        assert abs(int(out.d[i]) - true) <= max(4 * 0.023 * true, 2)
+        assert int(out.c[i]) == int(ref.c[i])
+        assert float(out.s[i]) == float(ref.s[i])
+
+
+def test_approx_distinct_strings_match_value_semantics(engine):
+    li = engine.catalog.table("lineitem").batch(
+        ["l_shipinstruct"]).to_pandas()
+    out = engine.sql(
+        "select approx_distinct(l_shipinstruct) d from lineitem"
+    ).to_pandas()
+    true = li.l_shipinstruct.nunique()
+    assert abs(int(out.d[0]) - true) <= max(4 * 0.023 * true, 2)
 
 
 def test_bool_and_or(engine):

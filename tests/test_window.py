@@ -198,3 +198,33 @@ def test_dense_rank_and_frame_defaults(engine):
     qs = sorted(set(df.l_quantity))
     rank_of = {q: i + 1 for i, q in enumerate(qs)}
     assert all(rank_of[q] == d for q, d in zip(out.l_quantity, out.dr))
+
+
+def test_percent_rank_and_cume_dist(engine):
+    out = engine.sql(
+        "select o_custkey k, o_totalprice p, "
+        "percent_rank() over (partition by o_custkey order by o_totalprice) pr, "
+        "cume_dist() over (partition by o_custkey order by o_totalprice) cd "
+        "from orders where o_custkey < 50").to_pandas()
+    df = engine.catalog.table("orders").batch(
+        ["o_custkey", "o_totalprice"]).to_pandas()
+    df = df[df.o_custkey < 50]
+    exp_pr = df.groupby("o_custkey").o_totalprice.rank(method="min")
+    sizes = df.groupby("o_custkey").o_totalprice.transform("size")
+    exp_pr = np.where(sizes > 1, (exp_pr - 1) / (sizes - 1).clip(lower=1), 0.0)
+    exp_cd = df.groupby("o_custkey").o_totalprice.rank(method="max") / sizes
+    got = out.sort_values(["k", "p"]).reset_index(drop=True)
+    ref = df.assign(pr=exp_pr, cd=exp_cd).sort_values(
+        ["o_custkey", "o_totalprice"]).reset_index(drop=True)
+    assert np.allclose(got.pr.to_numpy(), ref.pr.to_numpy())
+    assert np.allclose(got.cd.to_numpy(), ref.cd.to_numpy())
+
+
+def test_percent_rank_single_row_partition(engine):
+    out = engine.sql(
+        "select n_nationkey, "
+        "percent_rank() over (partition by n_nationkey) pr, "
+        "cume_dist() over (partition by n_nationkey) cd "
+        "from nation").to_pandas()
+    assert (out.pr == 0.0).all()
+    assert (out.cd == 1.0).all()
