@@ -58,6 +58,16 @@ class Column:
     type: SqlType
     validity: Optional[jnp.ndarray] = None  # bool, True = non-null
     dictionary: Optional[np.ndarray] = None  # sorted np array of str (varchar only)
+    # nested types (array/map): data is a [n, W] padded element matrix,
+    # lengths the per-row element count, map_values the aligned value
+    # matrix for maps (the ArrayBlock/MapBlock analog with pad+length
+    # instead of offsets — static shapes for XLA)
+    lengths: Optional[jnp.ndarray] = None   # int32 [n]
+    map_values: Optional[jnp.ndarray] = None  # [n, W] (maps only)
+
+    @property
+    def is_nested(self) -> bool:
+        return self.lengths is not None
 
     def __len__(self) -> int:
         return int(self.data.shape[0])
@@ -71,18 +81,46 @@ class Column:
         """Column at ``indices``; rows where ``valid`` is False become NULL."""
         if indices.dtype != jnp.int32:  # int64 indices gather ~2x slower
             indices = indices.astype(jnp.int32)
-        data = jnp.take(self.data, indices, mode="clip")
+        data = jnp.take(self.data, indices, axis=0, mode="clip")
         validity = self.validity
         if validity is not None:
             validity = jnp.take(validity, indices, mode="clip")
         if valid is not None:
             validity = valid if validity is None else (validity & valid)
-        return replace(self, data=data, validity=validity)
+        extra = {}
+        if self.lengths is not None:
+            extra["lengths"] = jnp.take(self.lengths, indices, mode="clip")
+        if self.map_values is not None:
+            extra["map_values"] = jnp.take(self.map_values, indices,
+                                           axis=0, mode="clip")
+        return replace(self, data=data, validity=validity, **extra)
 
     def decode(self, n: Optional[int] = None) -> np.ndarray:
         """Materialise to host numpy values (strings decoded, nulls -> object None)."""
         n = len(self) if n is None else n
         data = np.asarray(self.data[:n])
+        if self.lengths is not None:
+            lens = np.asarray(self.lengths[:n])
+
+            def dec(vals, t):
+                e = Column(jnp.asarray(vals), t, dictionary=self.dictionary)
+                return e.decode(len(vals))
+
+            out = np.empty(n, dtype=object)
+            if self.type.kind == "map":
+                vdata = np.asarray(self.map_values[:n])
+                for i in range(n):
+                    k = dec(data[i, :lens[i]], self.type.key)
+                    v = dec(vdata[i, :lens[i]], self.type.value)
+                    out[i] = dict(zip(k.tolist(), v.tolist()))
+            else:
+                for i in range(n):
+                    out[i] = dec(data[i, :lens[i]],
+                                 self.type.element).tolist()
+            if self.validity is not None:
+                mask = np.asarray(self.validity[:n])
+                out[~mask] = None
+            return out
         if self.type.is_string:
             assert self.dictionary is not None
             codes = np.clip(data, 0, len(self.dictionary) - 1) if len(self.dictionary) else data
@@ -228,6 +266,10 @@ def gather_columns(cols: Dict[str, Column], indices: jnp.ndarray,
     if indices.dtype != jnp.int32:
         indices = indices.astype(jnp.int32)
     out: Dict[str, Column] = {}
+    nested = {n: c for n, c in cols.items() if c.is_nested}
+    cols = {n: c for n, c in cols.items() if not c.is_nested}
+    for name, c in nested.items():  # [n, W] rows: plain axis-0 takes
+        out[name] = c.gather(indices, valid)
     entries: list = []  # (key, u32 array) — the single 32-bit class
     for name, c in cols.items():
         d = c.data
@@ -318,8 +360,31 @@ def concat_batches(a: "RecordBatch", b: "RecordBatch",
         ia = jnp.clip(i, 0, len(ca) - 1)
         ib = jnp.clip(i - na, 0, len(cb) - 1)
         sel = i < na
-        data = jnp.where(sel, jnp.take(ca.data, ia, mode="clip"),
-                         jnp.take(cb.data, ib, mode="clip"))
+
+        def _join2(da, db, sel2d=False):
+            ta = jnp.take(da, ia, axis=0, mode="clip")
+            tb = jnp.take(db, ib, axis=0, mode="clip")
+            s = sel[:, None] if sel2d else sel
+            return jnp.where(s, ta, tb)
+
+        if ca.is_nested:  # pad the narrower [n, W] matrix to the wider W
+            wa, wb = ca.data.shape[1], cb.data.shape[1]
+            w = max(wa, wb)
+
+            def _pad(d):
+                return d if d.shape[1] == w else jnp.concatenate(
+                    [d, jnp.zeros((d.shape[0], w - d.shape[1]),
+                                  d.dtype)], axis=1)
+
+            data = _join2(_pad(ca.data), _pad(cb.data), sel2d=True)
+            lengths = _join2(ca.lengths, cb.lengths)
+            mv = None
+            if ca.map_values is not None:
+                mv = _join2(_pad(ca.map_values), _pad(cb.map_values),
+                            sel2d=True)
+        else:
+            data = _join2(ca.data, cb.data)
+            lengths = mv = None
         va = (jnp.take(ca.validity, ia, mode="clip")
               if ca.validity is not None else jnp.ones((capacity,), bool))
         vb = (jnp.take(cb.validity, ib, mode="clip")
@@ -328,5 +393,6 @@ def concat_batches(a: "RecordBatch", b: "RecordBatch",
         if ca.validity is not None or cb.validity is not None:
             validity = jnp.where(sel, va, vb)
         cols[name] = Column(data, ca.type, validity=validity,
-                            dictionary=ca.dictionary)
+                            dictionary=ca.dictionary, lengths=lengths,
+                            map_values=mv)
     return RecordBatch(cols, a.num_rows + b.num_rows)

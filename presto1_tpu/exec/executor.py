@@ -42,7 +42,7 @@ from ..ops.join import cross_join
 from ..ops.common import key_ranges
 from ..sql.logical import (
     Aggregate, Filter, Join, Limit, LogicalNode, Output, Project, Scan,
-    SingleRow, Sort, Union, WindowNode,
+    SingleRow, Sort, Union, Unnest, WindowNode,
 )
 
 Path = Tuple[int, ...]
@@ -223,6 +223,51 @@ class Executor:
         else:
             cap = child.capacity()
         out = filter_batch(pred, child, capacity=cap)
+        self._check_capacity(out.num_rows, cap)
+        out = self._shrink(out)
+        if not self.compiled:
+            rec["capacity"] = max(out.capacity(), rec.get("capacity", 0))
+        return out
+
+    def _x_Unnest(self, node: Unnest, path: Path) -> RecordBatch:
+        """Array/map expansion (reference ``operator/unnest/``): each
+        input row emits one output row per element.  Scatter-free: the
+        [n, W] element matrix flattens, parent rows repeat W times, and
+        live lanes (lane < length AND parent row live) compact."""
+        from ..ops.filter import compact
+
+        child = self.execute(node.child, path + (0,))
+        arr = eval_expr(self._bind(node.array, child), child)
+        n = child.capacity()
+        w = max(int(arr.data.shape[1]), 1)
+        lanes = (jnp.arange(w, dtype=jnp.int32)[None, :]
+                 < arr.lengths[:, None])
+        row_live = jnp.arange(n, dtype=jnp.int64)[:, None] < child.num_rows
+        if arr.validity is not None:
+            row_live = row_live & arr.validity[:, None]
+        mask2 = (lanes & row_live).reshape(n * w)
+        t = node.array.type
+        cols = {}
+        for name, c in child.columns.items():
+            cols[name] = Column(
+                jnp.repeat(c.data, w, axis=0), c.type,
+                validity=None if c.validity is None
+                else jnp.repeat(c.validity, w),
+                dictionary=c.dictionary)
+        et = t.key if t.kind == "map" else t.element
+        cols[node.symbol] = Column(arr.data.reshape(n * w), et,
+                                   dictionary=arr.dictionary)
+        if t.kind == "map" and node.value_symbol:
+            cols[node.value_symbol] = Column(
+                arr.map_values.reshape(n * w), t.value,
+                dictionary=arr.dictionary)
+        flat = RecordBatch(cols, jnp.sum(mask2.astype(jnp.int64)))
+        rec = self._rec(path)
+        if self.compiled:
+            cap = rec["capacity"]
+        else:
+            cap = n * w
+        out = compact(flat, mask2, capacity=cap)
         self._check_capacity(out.num_rows, cap)
         out = self._shrink(out)
         if not self.compiled:

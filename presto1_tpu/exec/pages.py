@@ -50,6 +50,14 @@ def serialize_batch(batch: RecordBatch, compress: bool = True) -> bytes:
             "validity": None,
             "dictionary": None,
         }
+        if data.ndim > 1:  # nested (array/map): [n, W] element matrix
+            col["shape"] = list(data.shape)
+        if c.lengths is not None:
+            col["lengths"] = add(np.asarray(c.lengths)[:n].astype(np.int32))
+        if c.map_values is not None:
+            mv = np.asarray(c.map_values)[:n]
+            col["map_values"] = add(mv)
+            col["mv_dtype"] = str(mv.dtype)
         if c.validity is not None:
             col["validity"] = add(np.asarray(c.validity)[:n].astype(np.uint8))
         if c.dictionary is not None:
@@ -91,6 +99,16 @@ def deserialize_batch(data: bytes, device: bool = False) -> RecordBatch:
     for col in header["columns"]:
         t = parse_type_str(col["type"])
         arr = np.frombuffer(buf(col["data"]), dtype=np.dtype(col["dtype"]))
+        if col.get("shape"):
+            arr = arr.reshape(col["shape"])
+        lengths = None
+        if col.get("lengths") is not None:
+            lengths = np.frombuffer(buf(col["lengths"]), dtype=np.int32)
+        map_values = None
+        if col.get("map_values") is not None:
+            map_values = np.frombuffer(
+                buf(col["map_values"]),
+                dtype=np.dtype(col["mv_dtype"])).reshape(col["shape"])
         validity = None
         if col["validity"] is not None:
             validity = np.frombuffer(buf(col["validity"]),
@@ -106,8 +124,13 @@ def deserialize_batch(data: bytes, device: bool = False) -> RecordBatch:
             arr = jnp.asarray(arr)
             if validity is not None:
                 validity = jnp.asarray(validity)
+            if lengths is not None:
+                lengths = jnp.asarray(lengths)
+            if map_values is not None:
+                map_values = jnp.asarray(map_values)
         cols[col["name"]] = Column(arr, t, validity=validity,
-                                   dictionary=dictionary)
+                                   dictionary=dictionary, lengths=lengths,
+                                   map_values=map_values)
     return RecordBatch(cols, n)
 
 

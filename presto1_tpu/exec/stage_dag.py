@@ -184,7 +184,9 @@ class StageDagBuilder:
     def _build(self, node: L.LogicalNode):
         if isinstance(node, L.Scan):
             return _Open(node, "source", table=node.table)
-        if isinstance(node, (L.Filter, L.Project)):
+        if isinstance(node, (L.Filter, L.Project, L.Unnest)):
+            # row-local operators extend the open fragment (Unnest expands
+            # rows but stays partition-preserving for the PARENT's keys)
             r = self._build(node.children[0])
             return r.append(node) if isinstance(r, _Open) else r.wrap(node)
         if isinstance(node, L.Join):

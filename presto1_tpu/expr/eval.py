@@ -29,7 +29,7 @@ import numpy as np
 
 from ..batch import Column, RecordBatch
 from ..types import BOOLEAN, DOUBLE, DecimalType, SqlType, VARCHAR
-from .ir import Call, ColumnRef, DictLookup, Expr, Literal, walk
+from .ir import Call, ColumnRef, DictLookup, Expr, Lambda, Literal, walk
 
 # ------------------------------------------------------------------ values
 
@@ -101,8 +101,24 @@ def _to_double(data, t: SqlType):
 # ------------------------------------------------------------------ eval
 
 
+class _Nested:
+    """Array/map value inside the evaluator: [n, W] element matrix +
+    per-row lengths (+ aligned value matrix for maps)."""
+
+    __slots__ = ("data", "lengths", "map_values")
+
+    def __init__(self, data, lengths, map_values=None):
+        self.data = data
+        self.lengths = lengths
+        self.map_values = map_values
+
+
 def eval_expr(expr: Expr, batch: RecordBatch) -> Column:
     data, validity, dictionary = _eval(expr, batch)
+    if isinstance(data, _Nested):
+        return Column(data.data, expr.type, validity=validity,
+                      dictionary=dictionary, lengths=data.lengths,
+                      map_values=data.map_values)
     n = batch.capacity()
     if not hasattr(data, "shape") or data.shape == ():
         data = jnp.full((n,), data, dtype=np.dtype(expr.type.np_dtype))
@@ -133,6 +149,9 @@ def _eval(expr: Expr, batch: RecordBatch):
         return _literal_value(expr), None, None
     if isinstance(expr, ColumnRef):
         c = batch[expr.name]
+        if c.lengths is not None:
+            return (_Nested(c.data, c.lengths, c.map_values), c.validity,
+                    c.dictionary)
         return c.data, c.validity, c.dictionary
     if isinstance(expr, DictLookup):
         c = batch[expr.column.name]
@@ -448,6 +467,12 @@ def _eval_call(expr: Call, batch: RecordBatch):
         a, va, _ = _eval(expr.args[0], batch)
         return _norm(jnp.sqrt(_to_double(a, expr.args[0].type)), va), va, None
 
+    if fn in ("array_ctor", "cardinality", "element_at", "contains",
+              "array_position", "array_min", "array_max", "transform",
+              "filter", "any_match", "all_match", "none_match", "map",
+              "map_keys", "map_values", "array_concat"):
+        return _eval_array_fn(expr, batch)
+
     if fn == "__hll_hash":
         # 63-bit avalanche hash of the value's int64 bits (splitmix64) —
         # the register/rho source for approx_distinct's HLL sketch.
@@ -760,6 +785,204 @@ def _days_from_civil(y, m, d):
 # ------------------------------------------------- string-op binding (host)
 
 
+# ------------------------------------------------------------ array/map fns
+
+
+def _lane_mask(lengths, w):
+    return jnp.arange(w, dtype=jnp.int32)[None, :] < lengths[:, None]
+
+
+def _eval_array_fn(expr: Call, batch: RecordBatch):
+    """Array/map function family over the padded [n, W] representation
+    (reference: ``operator/scalar/Array*Function.java``, ``MapKeys``,
+    ``ArrayTransformFunction`` — lambda bodies re-enter the scalar
+    evaluator over the flattened element space, the jnp analog of the
+    reference's compiled lambda bytecode)."""
+    fn = expr.fn
+    n = batch.capacity()
+
+    def nested(i):
+        d, v, dic = _eval(expr.args[i], batch)
+        assert isinstance(d, _Nested), f"{fn}: argument {i} is not nested"
+        return d, v, dic
+
+    if fn == "array_ctor":
+        k = len(expr.args)
+        vals, valids = [], []
+        dic = None
+        for a in expr.args:
+            d, v, adic = _eval(a, batch)
+            if adic is not None:
+                dic = adic if dic is None else dic
+            if not hasattr(d, "shape") or d.shape == ():
+                d = jnp.full((n,), d)
+            vals.append(d)
+            valids.append(v)
+        data = jnp.stack(vals, axis=1) if k else jnp.zeros((n, 0),
+                                                           jnp.int64)
+        lengths = jnp.full((n,), k, jnp.int32)
+        return _Nested(data, lengths), None, dic
+
+    if fn == "map":
+        kd, kv, kdic = nested(0)
+        vd, vv, vdic = nested(1)
+        return (_Nested(kd.data, kd.lengths, vd.data),
+                _and_validity(kv, vv), kdic or vdic)
+
+    if fn == "map_keys":
+        d, v, dic = nested(0)
+        return _Nested(d.data, d.lengths), v, dic
+
+    if fn == "map_values":
+        d, v, dic = nested(0)
+        return _Nested(d.map_values, d.lengths), v, dic
+
+    if fn == "cardinality":
+        d, v, _ = nested(0)
+        return _norm(d.lengths.astype(jnp.int64), v), v, None
+
+    if fn == "array_concat":
+        a, va, adic = nested(0)
+        b, vb, _ = nested(1)
+        rows = a.data.shape[0]
+        wa, wb = a.data.shape[1], b.data.shape[1]
+        w = wa + wb
+        j = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :],
+                             (rows, w))
+        la = a.lengths[:, None].astype(jnp.int32)
+        from_a = j < la
+        da = jnp.take_along_axis(
+            a.data, jnp.clip(j, 0, max(wa - 1, 0)), axis=1) if wa \
+            else jnp.zeros((rows, w), b.data.dtype)
+        db = jnp.take_along_axis(
+            b.data, jnp.clip(j - la, 0, max(wb - 1, 0)), axis=1) if wb \
+            else jnp.zeros((rows, w), a.data.dtype)
+        data = jnp.where(from_a, da, db)
+        return (_Nested(data, a.lengths + b.lengths),
+                _and_validity(va, vb), adic)
+
+    if fn == "element_at":
+        d, v, dic = nested(0)
+        arr_t = expr.args[0].type
+        w = max(d.data.shape[1], 1)
+        if arr_t.kind == "map":
+            key, kv2, _ = _eval(expr.args[1], batch)
+            if not hasattr(key, "shape") or key.shape == ():
+                key = jnp.full((n,), key)
+            lanes = _lane_mask(d.lengths, d.data.shape[1])
+            hit = (d.data == key[:, None]) & lanes
+            found = jnp.any(hit, axis=1)
+            idx = jnp.argmax(hit, axis=1)
+            out = jnp.take_along_axis(d.map_values, idx[:, None],
+                                      axis=1)[:, 0]
+            validity = _and_validity(_and_validity(v, kv2), found)
+            return _norm(out, validity), validity, dic
+        i, iv, _ = _eval(expr.args[1], batch)
+        if not hasattr(i, "shape") or i.shape == ():
+            i = jnp.full((n,), i)
+        i = i.astype(jnp.int32)
+        # 1-based; negative counts from the end (Trino element_at)
+        idx = jnp.where(i < 0, d.lengths + i, i - 1)
+        ok = (idx >= 0) & (idx < d.lengths) & (i != 0)
+        out = jnp.take_along_axis(d.data,
+                                  jnp.clip(idx, 0, w - 1)[:, None],
+                                  axis=1)[:, 0]
+        validity = _and_validity(_and_validity(v, iv), ok)
+        return _norm(out, validity), validity, dic
+
+    if fn in ("contains", "array_position"):
+        d, v, dic = nested(0)
+        x, xv, xdic = _eval(expr.args[1], batch)
+        if dic is not None and xdic is not None:
+            # dictionary-coded elements: compare by value through a code
+            # translation (both sides are sorted dictionaries)
+            trans = jnp.asarray(
+                np.searchsorted(dic, xdic).clip(0, max(len(dic) - 1, 0)))
+            match_val = jnp.asarray(
+                np.asarray(dic)[np.searchsorted(
+                    dic, xdic).clip(0, max(len(dic) - 1, 0))] ==
+                np.asarray(xdic))
+            xx = jnp.take(trans, x if hasattr(x, "shape") and x.shape
+                          else jnp.full((n,), x, jnp.int32))
+            valx = jnp.take(match_val, x if hasattr(x, "shape") and x.shape
+                            else jnp.full((n,), x, jnp.int32))
+        else:
+            xx = x if hasattr(x, "shape") and x.shape else jnp.full((n,), x)
+            valx = None
+        lanes = _lane_mask(d.lengths, d.data.shape[1])
+        hit = (d.data == xx[:, None]) & lanes
+        if valx is not None:
+            hit = hit & valx[:, None]
+        validity = _and_validity(v, xv)
+        if fn == "contains":
+            out = jnp.any(hit, axis=1)
+            return _norm(out, validity), validity, None
+        pos = jnp.where(jnp.any(hit, axis=1),
+                        jnp.argmax(hit, axis=1) + 1, 0).astype(jnp.int64)
+        return _norm(pos, validity), validity, None
+
+    if fn in ("array_min", "array_max"):
+        d, v, dic = nested(0)
+        lanes = _lane_mask(d.lengths, d.data.shape[1])
+        big = jnp.asarray(np.iinfo(np.int64).max, d.data.dtype) \
+            if d.data.dtype.kind == "i" else jnp.asarray(np.inf,
+                                                         d.data.dtype)
+        if fn == "array_min":
+            out = jnp.min(jnp.where(lanes, d.data, big), axis=1)
+        else:
+            out = jnp.max(jnp.where(lanes, d.data, -big), axis=1)
+        nonempty = d.lengths > 0
+        validity = _and_validity(v, nonempty)
+        return _norm(out, validity), validity, dic
+
+    # ---- lambda family: evaluate the body over the flattened elements
+    d, v, dic = nested(0)
+    lam = expr.args[1]
+    assert isinstance(lam, Lambda)
+    w = max(d.data.shape[1], 1)
+    rows = d.data.shape[0]
+    flat = d.data.reshape(rows * d.data.shape[1]) if d.data.shape[1] \
+        else jnp.zeros((rows,), d.data.dtype)
+    elem_t = expr.args[0].type.element
+    cols = {lam.params[0]: Column(flat, elem_t, dictionary=dic)}
+    # outer columns referenced by the body broadcast element-wise
+    from .ir import referenced_columns
+
+    for name in referenced_columns(lam.body) - set(lam.params):
+        c = batch[name]
+        cols[name] = Column(
+            jnp.repeat(c.data, d.data.shape[1]), c.type,
+            validity=None if c.validity is None
+            else jnp.repeat(c.validity, d.data.shape[1]),
+            dictionary=c.dictionary)
+    ebatch = RecordBatch(cols, rows * d.data.shape[1])
+    body = eval_expr(lam.body, ebatch)
+    bdata = body.data.reshape(rows, d.data.shape[1])
+    lanes = _lane_mask(d.lengths, d.data.shape[1])
+
+    if fn == "transform":
+        return _Nested(bdata, d.lengths), v, body.dictionary
+    mask = bdata.astype(bool) & lanes
+    if body.validity is not None:
+        mask = mask & body.validity.reshape(rows, d.data.shape[1])
+    if fn == "filter":
+        # per-row lane compaction: stable sort along lanes by keep-flag
+        key = (~mask).astype(jnp.int8)
+        import jax
+
+        _, data2 = jax.lax.sort((key, d.data), num_keys=1, dimension=1,
+                                is_stable=True)
+        return _Nested(data2, jnp.sum(mask, axis=1).astype(jnp.int32)), \
+            v, dic
+    if fn == "any_match":
+        out = jnp.any(mask, axis=1)
+    elif fn == "all_match":
+        out = jnp.all(jnp.where(lanes, mask, True), axis=1)
+    else:  # none_match
+        out = ~jnp.any(mask, axis=1)
+    return _norm(out, v), v, None
+
+
 def bind_string_ops(expr: Expr, dicts: Dict[str, np.ndarray]) -> Expr:
     """Fold every maximal single-varchar-column subtree into a DictLookup.
 
@@ -767,6 +990,9 @@ def bind_string_ops(expr: Expr, dicts: Dict[str, np.ndarray]) -> Expr:
     """
     if isinstance(expr, (Literal, ColumnRef, DictLookup)):
         return expr
+    if isinstance(expr, Lambda):
+        return Lambda(expr.params, bind_string_ops(expr.body, dicts),
+                      expr.type)
     assert isinstance(expr, Call)
     if _foldable(expr, dicts):
         return _fold(expr, dicts)

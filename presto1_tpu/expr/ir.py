@@ -45,6 +45,23 @@ class ColumnRef(Expr):
 
 
 @dataclass(frozen=True)
+class Lambda(Expr):
+    """Inline lambda for array functions (transform/filter/..._match):
+    ``body`` references its parameter as ColumnRef(param).  The analog of
+    the reference's LambdaDefinitionExpression
+    (``sql/relational/LambdaDefinitionExpression``)."""
+
+    params: Tuple[str, ...]
+    body: "Expr"
+    type: SqlType
+
+    def __init__(self, params, body, type):
+        object.__setattr__(self, "params", tuple(params))
+        object.__setattr__(self, "body", body)
+        object.__setattr__(self, "type", type)
+
+
+@dataclass(frozen=True)
 class Call(Expr):
     """fn ∈ {'+','-','*','/','neg','=','<>','<','<=','>','>=','and','or',
     'not','in','case','cast','is_null','coalesce','extract_year','like',
@@ -195,6 +212,8 @@ def walk(expr: Expr):
     if isinstance(expr, Call):
         for a in expr.args:
             yield from walk(a)
+    elif isinstance(expr, Lambda):
+        yield from walk(expr.body)
     elif isinstance(expr, DictLookup):
         yield expr.column
 

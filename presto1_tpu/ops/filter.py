@@ -50,11 +50,22 @@ def compact(batch: RecordBatch, mask: jnp.ndarray,
         pad = cap - batch.capacity()
         cols = {}
         for nm, c in batch.columns.items():
+            from dataclasses import replace as _replace
+
             data = jnp.concatenate(
                 [c.data, jnp.zeros((pad,) + c.data.shape[1:], c.data.dtype)])
             validity = None if c.validity is None else jnp.concatenate(
                 [c.validity, jnp.zeros((pad,), bool)])
-            cols[nm] = c.with_data(data, validity)
+            extra = {}
+            if c.lengths is not None:
+                extra["lengths"] = jnp.concatenate(
+                    [c.lengths, jnp.zeros((pad,), c.lengths.dtype)])
+            if c.map_values is not None:
+                extra["map_values"] = jnp.concatenate(
+                    [c.map_values,
+                     jnp.zeros((pad,) + c.map_values.shape[1:],
+                               c.map_values.dtype)])
+            cols[nm] = _replace(c, data=data, validity=validity, **extra)
         batch = RecordBatch(cols, batch.num_rows)
         mask = jnp.concatenate([mask, jnp.zeros((pad,), bool)])
     if _scatter_ok():
@@ -76,8 +87,9 @@ def compact(batch: RecordBatch, mask: jnp.ndarray,
     # makes the TPU AOT compiler fall off a cliff (SF1 Q2's 30-operand
     # sort compiled for >45 min; every narrow fragment compiles in
     # seconds).  Sort only a permutation (2 operands) and move the
-    # payload with the width-class packed gathers instead.
-    if len(payload) > 8:
+    # payload with the width-class packed gathers instead.  Nested
+    # (array/map) columns are [n, W] matrices — always gather-moved.
+    if len(payload) > 8 or any(c.is_nested for c in batch.columns.values()):
         _, perm = jax.lax.sort(
             (key, iota(n).astype(jnp.int32)), num_keys=1, is_stable=True)
         return batch.gather(perm[:cap], count)

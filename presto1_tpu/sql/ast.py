@@ -88,6 +88,14 @@ class SubqueryRef(FromItem):
 
 
 @dataclass
+class UnnestRef(FromItem):
+    """UNNEST(expr) [AS alias (col [, col])] — array (1 col) or map (2)."""
+    expr: "Expr"
+    alias: Optional[str] = None
+    columns: Optional[List[str]] = None
+
+
+@dataclass
 class JoinItem(FromItem):
     left: FromItem
     right: FromItem
@@ -277,3 +285,16 @@ class Show(Node):
 class Explain(Node):
     query: Query
     analyze: bool = False
+
+
+@dataclass
+class ArrayLit(Expr):
+    """ARRAY[e1, e2, ...] constructor."""
+    items: List[Expr]
+
+
+@dataclass
+class Lambda(Expr):
+    """Inline lambda ``x -> body`` (array function argument)."""
+    params: List[str]
+    body: Expr

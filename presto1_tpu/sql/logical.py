@@ -309,3 +309,35 @@ def _short(e) -> str:
     if isinstance(e, Call):
         return f"{e.fn}({', '.join(_short(a) for a in e.args)})"
     return "?"
+
+
+@dataclass
+class Unnest(LogicalNode):
+    """Expand an array-typed expression: each input row emits one output
+    row per element (reference: ``operator/unnest/``, UnnestNode).  Map
+    unnest emits (key, value) pairs via ``value_symbol``."""
+
+    child: LogicalNode
+    array: Expr                      # array/map expr over child's schema
+    symbol: str                      # element (or key) output symbol
+    value_symbol: Optional[str] = None  # map values
+
+    @property
+    def schema(self):
+        out = dict(self.child.schema)
+        t = self.array.type
+        if t.kind == "map":
+            out[self.symbol] = t.key
+            if self.value_symbol:
+                out[self.value_symbol] = t.value
+        else:
+            out[self.symbol] = t.element
+        return out
+
+    @property
+    def children(self):
+        return [self.child]
+
+    def with_children(self, children):
+        return Unnest(children[0], self.array, self.symbol,
+                      self.value_symbol)

@@ -21,7 +21,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>'(?:[^']|'')*')
   | (?P<qident>"(?:[^"]|"")*")
   | (?P<ident>[A-Za-z_][A-Za-z0-9_$]*)
-  | (?P<op><>|!=|>=|<=|\|\||[(),.;*/%+\-<>=])
+  | (?P<op><>|!=|>=|<=|\|\||->|[(),.;*/%+\-<>=\[\]])
     """,
     re.VERBOSE,
 )
@@ -423,6 +423,22 @@ class Parser:
             rel = self._from_relation()
             self.expect("op", ")")
             return rel
+        if self.peek().kind == "ident" and \
+                self.peek().value.lower() == "unnest" and \
+                self.peek(1).kind == "op" and self.peek(1).value == "(":
+            self.next()
+            self.next()  # (
+            expr = self._expr()
+            self.expect("op", ")")
+            alias, columns = None, None
+            if self.kw("as"):
+                alias = self.expect("ident").value
+                if self.accept("op", "("):
+                    columns = [self.expect("ident").value]
+                    while self.accept("op", ","):
+                        columns.append(self.expect("ident").value)
+                    self.expect("op", ")")
+            return ast.UnnestRef(expr, alias, columns)
         name = self.expect("ident").value
         # catalog.schema qualifiers: the system catalog resolves by full
         # dotted name (system.runtime.queries); others keep the last part
@@ -535,7 +551,16 @@ class Parser:
             return ast.UnaryOp("-", self._unary())
         if self.accept("op", "+"):
             return self._unary()
-        return self._primary()
+        e = self._primary()
+        # postfix subscript: a[i] == element_at(a, i) (1-based, NULL when
+        # out of range — Trino semantics for [] differ by raising; we keep
+        # the total element_at behavior, documented)
+        while self.peek().kind == "op" and self.peek().value == "[":
+            self.next()
+            idx = self._expr()
+            self.expect("op", "]")
+            e = ast.FuncCall("element_at", [e, idx])
+        return e
 
     def _primary(self) -> ast.Expr:
         t = self.peek()
@@ -625,6 +650,24 @@ class Parser:
             self.expect("op", ")")
             return e
         if t.kind == "ident":
+            # ARRAY[e1, e2, ...] literal
+            if t.value.lower() == "array" and self.peek(1).kind == "op" \
+                    and self.peek(1).value == "[":
+                self.next()
+                self.next()  # [
+                items = []
+                if not (self.peek().kind == "op"
+                        and self.peek().value == "]"):
+                    items.append(self._expr())
+                    while self.accept("op", ","):
+                        items.append(self._expr())
+                self.expect("op", "]")
+                return ast.ArrayLit(items)
+            # single-parameter lambda: x -> expr (function-argument only)
+            if self.peek(1).kind == "op" and self.peek(1).value == "->":
+                param = self.next().value
+                self.next()  # ->
+                return ast.Lambda([param], self._expr())
             # typed literal: TIMESTAMP '...' (TIMESTAMP stays an ident so
             # columns may use the name)
             if t.value.lower() == "timestamp" and self.peek(1).kind == "string":

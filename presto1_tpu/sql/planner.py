@@ -24,7 +24,7 @@ from ..types import (
 from . import ast
 from .logical import (
     AggCall, Aggregate, Filter, Join, Limit, LogicalNode, Output, Project,
-    Scan, SingleRow, Sort, Union, WinCall, WindowNode,
+    Scan, SingleRow, Sort, Union, Unnest, WinCall, WindowNode,
 )
 
 EPOCH = np.datetime64("1970-01-01", "D")
@@ -504,8 +504,15 @@ class Planner:
             fields = [FieldRef(item.alias, f.name, f.symbol, f.type)
                       for f in sub.scope.fields]
             return RelationPlan(sub.node, Scope(fields, outer))
+        if isinstance(item, ast.UnnestRef):
+            base = RelationPlan(SingleRow(), Scope([], outer))
+            return self._plan_unnest(item, base, outer)
         if isinstance(item, ast.JoinItem):
             left = self.plan_from(item.left, outer, ctes)
+            if isinstance(item.right, ast.UnnestRef):
+                if item.kind != "cross":
+                    raise PlanError("UNNEST joins must be CROSS JOIN")
+                return self._plan_unnest(item.right, left, outer)
             right = self.plan_from(item.right, outer, ctes)
             kind = item.kind
             if kind == "right":
@@ -522,6 +529,32 @@ class Planner:
             node = Join(left.node, right.node, kind, [], cond)
             return RelationPlan(node, merged)
         raise PlanError(f"unsupported FROM item {item}")
+
+    def _plan_unnest(self, item: "ast.UnnestRef", base: RelationPlan,
+                     outer) -> RelationPlan:
+        conv = ExprConverter(base.scope, self)
+        arr = conv.convert(item.expr)
+        if arr.type.kind not in ("array", "map"):
+            raise PlanError("UNNEST argument must be an array or map")
+        qualifier = item.alias
+        if arr.type.kind == "map":
+            names = item.columns or ["key", "value"]
+            if len(names) != 2:
+                raise PlanError("UNNEST of a map produces two columns")
+            ks, vs = self.symbol(names[0]), self.symbol(names[1])
+            node = Unnest(base.node, arr, ks, vs)
+            fields = base.scope.fields + [
+                FieldRef(qualifier, names[0], ks, arr.type.key),
+                FieldRef(qualifier, names[1], vs, arr.type.value)]
+        else:
+            names = item.columns or ["col"]
+            if len(names) != 1:
+                raise PlanError("UNNEST of an array produces one column")
+            s = self.symbol(names[0])
+            node = Unnest(base.node, arr, s)
+            fields = base.scope.fields + [
+                FieldRef(qualifier, names[0], s, arr.type.element)]
+        return RelationPlan(node, Scope(fields, outer))
 
     # ------------------------------------------------------------- SELECT
 
@@ -996,6 +1029,7 @@ class ExprConverter:
         # matching) — AST nodes are dataclasses, so == is structural
         self.by_value = by_value or []
         self.used_outer: Set[str] = set()
+        self.lambda_params: Dict[str, ir.Expr] = {}
 
     def convert(self, e: ast.Expr) -> ir.Expr:
         if id(e) in self.replace:
@@ -1011,6 +1045,8 @@ class ExprConverter:
         return m(e)
 
     def _c_Identifier(self, e: ast.Identifier) -> ir.Expr:
+        if e.qualifier is None and e.name in self.lambda_params:
+            return self.lambda_params[e.name]
         try:
             f, depth = self.scope.resolve(e.qualifier, e.name)
         except PlanError:
@@ -1056,6 +1092,8 @@ class ExprConverter:
             raise PlanError("interval arithmetic only on date literals")
         left = self.convert(e.left)
         right = self.convert(e.right)
+        if e.op == "||" and left.type.kind == "array":
+            return ir.Call("array_concat", (left, right), left.type)
         op = {"%": "mod"}.get(e.op, e.op)
         return ir.call(op, left, right)
 
@@ -1090,8 +1128,95 @@ class ExprConverter:
         "url_encode", "url_decode",
     }
 
+    ARRAY_LAMBDA_FNS = {"transform", "filter", "any_match", "all_match",
+                        "none_match"}
+    ARRAY_FNS = {"cardinality", "element_at", "contains", "array_position",
+                 "array_min", "array_max", "map", "map_keys", "map_values",
+                 "array_concat"}
+
+    def _c_ArrayLit(self, e) -> ir.Expr:
+        from ..types import ArrayType
+
+        items = [self.convert(i) for i in e.items]
+        t = items[0].type if items else BIGINT
+        for it in items[1:]:
+            if it.type != t:
+                t = common_supertype(t, it.type)
+        items = [i if i.type == t else ir.call("cast", i, type=t)
+                 for i in items]
+        return ir.Call("array_ctor", tuple(items), ArrayType(t))
+
+    def _c_Lambda(self, e) -> ir.Expr:
+        raise PlanError("lambda outside an array function argument")
+
+    def _c_array_fn(self, name: str, e: ast.FuncCall) -> ir.Expr:
+        from ..types import ArrayType, MapType
+
+        if name in self.ARRAY_LAMBDA_FNS:
+            arr = self.convert(e.args[0])
+            if arr.type.kind != "array":
+                raise PlanError(f"{name}: first argument must be an array")
+            lam = e.args[1]
+            if not isinstance(lam, ast.Lambda) or len(lam.params) != 1:
+                raise PlanError(f"{name}: second argument must be a "
+                                "single-parameter lambda")
+            pname = lam.params[0]
+            psym = f"__lam${pname}"
+            saved = self.lambda_params.get(pname)
+            self.lambda_params[pname] = ir.ColumnRef(psym,
+                                                     arr.type.element)
+            try:
+                body = self.convert(lam.body)
+            finally:
+                if saved is None:
+                    self.lambda_params.pop(pname, None)
+                else:
+                    self.lambda_params[pname] = saved
+            lam_ir = ir.Lambda((psym,), body, body.type)
+            if name == "transform":
+                t = ArrayType(body.type)
+            elif name == "filter":
+                t = arr.type
+            else:
+                t = BOOLEAN
+            return ir.Call(name, (arr, lam_ir), t)
+        args = [self.convert(a) for a in e.args]
+        a0 = args[0]
+        if name == "cardinality":
+            if a0.type.kind not in ("array", "map"):
+                raise PlanError("cardinality over non-collection")
+            return ir.Call(name, tuple(args), BIGINT)
+        if name == "element_at":
+            if a0.type.kind == "map":
+                return ir.Call(name, tuple(args), a0.type.value)
+            if a0.type.kind == "array":
+                return ir.Call(name, tuple(args), a0.type.element)
+            raise PlanError("element_at over non-collection")
+        if name == "contains":
+            return ir.Call(name, tuple(args), BOOLEAN)
+        if name == "array_position":
+            return ir.Call(name, tuple(args), BIGINT)
+        if name in ("array_min", "array_max"):
+            return ir.Call(name, tuple(args), a0.type.element)
+        if name == "map":
+            if len(args) != 2 or args[0].type.kind != "array" \
+                    or args[1].type.kind != "array":
+                raise PlanError("map(keys_array, values_array)")
+            return ir.Call(name, tuple(args),
+                           MapType(args[0].type.element,
+                                   args[1].type.element))
+        if name == "map_keys":
+            return ir.Call(name, tuple(args), ArrayType(a0.type.key))
+        if name == "map_values":
+            return ir.Call(name, tuple(args), ArrayType(a0.type.value))
+        if name == "array_concat":
+            return ir.Call(name, tuple(args), a0.type)
+        raise PlanError(f"unknown array function {name}")
+
     def _c_FuncCall(self, e: ast.FuncCall) -> ir.Expr:
         name = {"pow": "power", "position": "strpos"}.get(e.name, e.name)
+        if name in self.ARRAY_LAMBDA_FNS or name in self.ARRAY_FNS:
+            return self._c_array_fn(name, e)
         if name == "substr" and len(e.args) >= 2:
             return self.convert(ast.Substring(
                 e.args[0], e.args[1],

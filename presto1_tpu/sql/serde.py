@@ -61,6 +61,9 @@ def expr_to_json(e: ir.Expr) -> Dict[str, Any]:
     if isinstance(e, ir.Call):
         return {"k": "call", "fn": e.fn,
                 "args": [expr_to_json(a) for a in e.args], "t": _t(e.type)}
+    if isinstance(e, ir.Lambda):
+        return {"k": "lambda", "params": list(e.params),
+                "body": expr_to_json(e.body), "t": _t(e.type)}
     raise TypeError(f"unserializable expr {type(e).__name__}")
 
 
@@ -83,6 +86,8 @@ def expr_from_json(d: Dict[str, Any]) -> ir.Expr:
                              else _np_from_b64(vt))
     if k == "call":
         return ir.Call(d["fn"], tuple(expr_from_json(a) for a in d["args"]), t)
+    if k == "lambda":
+        return ir.Lambda(tuple(d["params"]), expr_from_json(d["body"]), t)
     raise ValueError(f"unknown expr kind {k}")
 
 
@@ -138,6 +143,10 @@ def plan_to_json(n: L.LogicalNode) -> Dict[str, Any]:
                        c.param]
                       for c in n.calls],
         }
+    if isinstance(n, L.Unnest):
+        return {"k": "unnest", "child": plan_to_json(n.child),
+                "array": expr_to_json(n.array), "symbol": n.symbol,
+                "value_symbol": n.value_symbol}
     if isinstance(n, L.Sort):
         return {"k": "sort", "child": plan_to_json(n.child),
                 "keys": [[expr_to_json(e), asc, nf] for e, asc, nf in n.keys],
@@ -198,6 +207,10 @@ def plan_from_json(d: Dict[str, Any]) -> L.LogicalNode:
                        default=None if c[5] is None else expr_from_json(c[5]),
                        param=c[6])
              for c in d["calls"]])
+    if k == "unnest":
+        return L.Unnest(plan_from_json(d["child"]),
+                        expr_from_json(d["array"]), d["symbol"],
+                        d.get("value_symbol"))
     if k == "sort":
         return L.Sort(plan_from_json(d["child"]),
                       [(expr_from_json(e), asc, nf)

@@ -97,6 +97,50 @@ class CharType(SqlType):
         return f"char({self.length})"
 
 
+@dataclass(frozen=True)
+class ArrayType(SqlType):
+    """ARRAY(T) — TPU-first representation: a [n, W] device matrix of
+    element values padded to the column's max width W plus an int32
+    lengths vector (static shapes; the reference's variable-width
+    ``spi/type/ArrayType.java`` / ArrayBlock offsets+values become
+    pad+length, the same trade every operator in this engine makes)."""
+
+    element: SqlType = None
+
+    def __init__(self, element: SqlType):
+        object.__setattr__(self, "kind", "array")
+        object.__setattr__(self, "element", element)
+
+    @property
+    def np_dtype(self):
+        return self.element.np_dtype
+
+    def __str__(self):
+        return f"array({self.element})"
+
+
+@dataclass(frozen=True)
+class MapType(SqlType):
+    """MAP(K, V) — two aligned [n, W] matrices (keys ride Column.data,
+    values ride Column.map_values) + lengths; the
+    ``spi/type/MapType.java`` analog."""
+
+    key: SqlType = None
+    value: SqlType = None
+
+    def __init__(self, key: SqlType, value: SqlType):
+        object.__setattr__(self, "kind", "map")
+        object.__setattr__(self, "key", key)
+        object.__setattr__(self, "value", value)
+
+    @property
+    def np_dtype(self):
+        return self.key.np_dtype
+
+    def __str__(self):
+        return f"map({self.key},{self.value})"
+
+
 MICROS_PER_DAY = 86_400_000_000
 
 _NP_DTYPES = {
@@ -126,6 +170,24 @@ TIMESTAMP = TimestampType(3)
 VARCHAR = SqlType("varchar")
 
 
+def _split_type_args(s: str):
+    """Split 'a,b' at top-level commas (nested parens stay intact)."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
 def parse_type_str(name: str) -> SqlType:
     """Inverse of ``str(SqlType)`` (used by the page wire format and DDL)."""
     n = name.strip().lower()
@@ -134,6 +196,14 @@ def parse_type_str(name: str) -> SqlType:
         if "(" not in n:
             return default
         return [x.strip() for x in n[n.find("(") + 1:n.find(")")].split(",")]
+
+    if n.startswith("array"):
+        inner = n[n.find("(") + 1:n.rfind(")")]
+        return ArrayType(parse_type_str(inner))
+    if n.startswith("map"):
+        inner = n[n.find("(") + 1:n.rfind(")")]
+        k, v = _split_type_args(inner)
+        return MapType(parse_type_str(k), parse_type_str(v))
 
     if n.startswith("decimal"):
         p, s = (paren_args(["12", "2"]) + ["0"])[:2]
