@@ -219,6 +219,17 @@ class ShardedTable(Table):
         return Column(jnp.asarray(data), c.type, validity=validity,
                       dictionary=c.dictionary)
 
+    def host_column(self, column: str) -> Column:
+        """Host-side shard slice with NO device round-trip: CPU discovery
+        (the accelerator proxy) must not upload the full base column
+        through the device tunnel just to slice it."""
+        c = self.base.host_column(column)
+        return Column(
+            np.asarray(c.data)[self.lo:self.hi], c.type,
+            validity=None if c.validity is None
+            else np.asarray(c.validity)[self.lo:self.hi],
+            dictionary=c.dictionary)
+
 
 class ShardedCatalog(Catalog):
     """Catalog view holding shard ``index`` of ``count`` for every table."""

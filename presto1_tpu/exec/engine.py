@@ -149,10 +149,18 @@ class Engine:
             rows = out.num_rows if isinstance(out.num_rows, int) \
                 else int(out.num_rows)
         except Exception as e:
+            from .metrics import REGISTRY
+
+            REGISTRY.counter("engine.queries_failed").update()
             self.events.emit(QueryEvent(
                 "failed", self.session.query_id, sql, self.session.user,
                 wall_s=time.time() - t0, error=str(e)))
             raise
+        from .metrics import REGISTRY
+
+        REGISTRY.counter("engine.queries_completed").update()
+        REGISTRY.counter("engine.output_rows").update(rows)
+        REGISTRY.distribution("engine.query_wall_s").add(time.time() - t0)
         self.events.emit(QueryEvent(
             "completed", self.session.query_id, sql, self.session.user,
             wall_s=time.time() - t0, rows=rows))

@@ -148,6 +148,21 @@ def attach_system_tables(catalog: Catalog, engine) -> None:
     def uptime() -> Dict[str, np.ndarray]:
         return {"uptime_s": np.array([time.time() - started], np.float64)}
 
+    def metrics() -> Dict[str, np.ndarray]:
+        from .metrics import REGISTRY
+
+        rows = REGISTRY.snapshot()
+        return {
+            "name": np.array([r["name"] for r in rows], object),
+            "kind": np.array([r["kind"] for r in rows], object),
+            "total": np.array([r["total"] for r in rows], np.float64),
+            "one_minute": np.array([r["one_minute"] for r in rows],
+                                   np.float64),
+            "min": np.array([r["min"] for r in rows], np.float64),
+            "max": np.array([r["max"] for r in rows], np.float64),
+            "avg": np.array([r["avg"] for r in rows], np.float64),
+        }
+
     catalog.tables["system.runtime.queries"] = DynamicTable(
         "system.runtime.queries",
         [("query_id", VARCHAR), ("state", VARCHAR), ("user", VARCHAR),
@@ -156,6 +171,11 @@ def attach_system_tables(catalog: Catalog, engine) -> None:
         "system.runtime.nodes",
         [("node_id", VARCHAR), ("http_uri", VARCHAR), ("state", VARCHAR),
          ("success_rate", DOUBLE)], nodes)
+    catalog.tables["system.runtime.metrics"] = DynamicTable(
+        "system.runtime.metrics",
+        [("name", VARCHAR), ("kind", VARCHAR), ("total", DOUBLE),
+         ("one_minute", DOUBLE), ("min", DOUBLE), ("max", DOUBLE),
+         ("avg", DOUBLE)], metrics)
     catalog.tables["system.runtime.memory"] = DynamicTable(
         "system.runtime.memory",
         [("pool", VARCHAR), ("capacity_bytes", BIGINT),

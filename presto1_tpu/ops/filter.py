@@ -89,7 +89,8 @@ def compact(batch: RecordBatch, mask: jnp.ndarray,
     # seconds).  Sort only a permutation (2 operands) and move the
     # payload with the width-class packed gathers instead.  Nested
     # (array/map) columns are [n, W] matrices — always gather-moved.
-    if len(payload) > 8 or any(c.is_nested for c in batch.columns.values()):
+    if (len(payload) > 8 and n > 65536) \
+            or any(c.is_nested for c in batch.columns.values()):
         _, perm = jax.lax.sort(
             (key, iota(n).astype(jnp.int32)), num_keys=1, is_stable=True)
         return batch.gather(perm[:cap], count)

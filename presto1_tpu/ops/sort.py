@@ -64,11 +64,14 @@ def sort_batch(batch: RecordBatch, keys: List[SortKey],
             payload.append(c.validity.astype(jnp.int8))
     nkeys = 1 + len(keys)
     key_ops = [dead] + [_sortable(k, n) for k in keys]
-    if len(payload) > 8 or any(c.is_nested for c in batch.columns.values()):
-        # wide outputs: a variadic sort with one operand per column makes
-        # the TPU AOT compiler fall off a cliff (>45 min at 30 operands,
-        # SF1 Q2) — sort a permutation and move columns with the packed
-        # gathers instead; nested [n, W] columns can't ride a sort at all
+    if (len(payload) > 8 and n > 65536) \
+            or any(c.is_nested for c in batch.columns.values()):
+        # wide LARGE outputs: a variadic sort with one operand per column
+        # makes the TPU AOT compiler fall off a cliff (>45 min at 30
+        # operands x 1M rows, SF1 Q2) — sort a permutation and move
+        # columns with the packed gathers instead.  Small batches keep
+        # the payload sort (the gather path's packed/chunked machinery
+        # buys nothing there); nested [n, W] columns always gather-move.
         out = jax.lax.sort(tuple(key_ops) + (iota(n).astype(jnp.int32),),
                            num_keys=nkeys)
         perm = out[nkeys]

@@ -317,7 +317,16 @@ class WorkerRuntime:
             else:
                 task.buffers = [_paginate(out, 0, n)]
             task.state = TaskState.FINISHED
+            from ..exec.metrics import REGISTRY
+
+            REGISTRY.counter("worker.tasks_finished").update()
+            REGISTRY.counter("worker.output_rows").update(n)
+            REGISTRY.counter("worker.exchange_bytes_in").update(
+                task.bytes_in)
         except Exception as e:  # noqa: BLE001 — reported via task status
+            from ..exec.metrics import REGISTRY
+
+            REGISTRY.counter("worker.tasks_failed").update()
             task.error = f"{type(e).__name__}: {e}"
             traceback.print_exc()
             task.state = TaskState.FAILED

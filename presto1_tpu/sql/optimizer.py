@@ -36,6 +36,9 @@ def optimize(plan: LogicalNode, catalog) -> LogicalNode:
     plan = _rewrite_approx_distinct(plan)
     plan = _rewrite_distinct(plan)
     plan = _reduce_group_keys(plan, catalog)
+    from .matching import CLEANUP_RULES, apply_rules
+
+    plan = apply_rules(plan, CLEANUP_RULES)
     plan = _prune(plan, set(_needed_at_top(plan)))
     return plan
 

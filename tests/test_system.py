@@ -56,3 +56,17 @@ def test_blackhole_swallow_and_synthesize(engine):
         "synth", [("k", BIGINT), ("s", VARCHAR)], rows_per_scan=1000)
     out = engine.sql_pandas("select count(*) c, sum(k) s from synth")
     assert int(out["c"][0]) == 1000 and int(out["s"][0]) == 0
+
+
+def test_runtime_metrics_table(engine):
+    """Per-component counters/rates (airlift CounterStat/DistributionStat
+    + trino-jmx analog): queryable via system.runtime.metrics."""
+    engine.sql("select count(*) from nation")
+    out = engine.sql(
+        "select name, kind, total from system.runtime.metrics "
+        "where name like 'engine.%' order by name").to_pandas()
+    names = set(out.name)
+    assert "engine.queries_completed" in names
+    assert "engine.query_wall_s" in names
+    row = out[out.name == "engine.queries_completed"].iloc[0]
+    assert row.kind == "counter" and row.total >= 1
