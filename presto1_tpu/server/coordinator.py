@@ -8,9 +8,11 @@ query manager with the QUEUED→RUNNING→FINISHED/FAILED state machine
 (``execution/QueryStateMachine.java``), token-paged JSON results, and
 cancellation via DELETE.
 
-Single-process by design: on TPU the "workers" are mesh devices driven by
-XLA collectives, so the coordinator/worker split of the reference
-collapses; multi-host DCN dispatch attaches here in a later round.
+This server fronts a single Engine; within one host the "workers" are mesh
+devices driven by XLA collectives, so the coordinator/worker split of the
+reference collapses.  The multi-host DCN plane is a separate coordinator
+surface: ``exec/dist_engine.MultiHostEngine`` schedules the stage DAG over
+``server/worker.py`` task servers discovered via ``server/discovery.py``.
 """
 
 from __future__ import annotations

@@ -360,10 +360,19 @@ def _greedy_join(rels, edges, catalog) -> LogicalNode:
     while remaining:
         candidates = [(i, edge_between(joined, i)) for i in remaining]
         connected = [(i, e) for i, e in candidates if e]
-        if connected:
-            i, eq = min(connected, key=lambda t: est[t[0]])
-        else:
-            i, eq = min(candidates, key=lambda t: est[t[0]])
+        pool = connected if connected else candidates
+
+        # pick the candidate whose RESULTING join is smallest (the
+        # CostComparator analog — cost/CostCalculatorUsingExchanges +
+        # JoinStatsRule): joining the smallest relation can still blow up
+        # through a low-NDV edge (Q5's customer⋈supplier on nationkey =
+        # 60M pairs), which fits host RAM but not 16 GB HBM
+        def result_rows(t):
+            i, eq = t
+            kind = "inner" if eq else "cross"
+            return _estimate(Join(tree, rels[i], kind, eq, None), catalog)
+
+        i, eq = min(pool, key=result_rows)
         kind = "inner" if eq else "cross"
         tree = Join(tree, rels[i], kind, eq, None)
         joined.add(i)
