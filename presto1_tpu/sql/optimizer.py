@@ -303,12 +303,35 @@ def _orient_tree(node: LogicalNode, catalog) -> LogicalNode:
 
 
 def _orient(node: LogicalNode, catalog) -> LogicalNode:
-    """Make the smaller side the build (right) side; mark unique builds."""
+    """Choose the build (right) side; mark unique builds.
+
+    A provably-unique (PK) build side enables the expansion-free probe
+    path — measured >10x on Q3's join fragment (BASELINE.md) — so a
+    unique build wins over a merely-smaller one unless it is far larger
+    (the CostComparator trade of build size vs probe fan-out)."""
     if not isinstance(node, Join):
         return node
     j = node
+
+    def _unique_as_build(side) -> bool:
+        uniq = _unique_keysets(side, catalog)
+        syms = frozenset(
+            (b if side is j.right else a).name for a, b in j.equis
+            if isinstance((b if side is j.right else a), ir.ColumnRef))
+        return any(k <= syms for k in uniq)
+
     if j.kind == "inner" and j.equis:
-        if _estimate(j.left, catalog) < _estimate(j.right, catalog):
+        le, re = _estimate(j.left, catalog), _estimate(j.right, catalog)
+        u_right = _unique_as_build(j.right)
+        u_left = _unique_as_build(j.left)
+        # physical cost per orientation: build-side sort + probe work.
+        # A unique (PK) build probes expansion-free (one searchsorted);
+        # a non-unique build pays pair expansion + compaction on top
+        # (~2x the probe volume) — the CostComparator trade measured on
+        # Q3/Q12 fragments (BASELINE.md join-path findings).
+        cost_keep = re + (le if u_right else 2 * le + re)
+        cost_flip = le + (re if u_left else 2 * re + le)
+        if cost_flip < cost_keep:
             j = Join(j.right, j.left, "inner",
                      [(b, a) for a, b in j.equis], j.residual, j.build_unique)
     if j.kind in ("inner", "left", "semi", "anti") and j.equis:

@@ -104,4 +104,10 @@ def test_coordinator_wires_resource_groups():
         time.sleep(0.02)
     assert q.state == "FINISHED", q.error
     assert q.resource_group == "global"
+    # the slot releases asynchronously after the state flips — poll
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        if qm.resource_groups.info()["groups"][0]["running"] == 0:
+            break
+        time.sleep(0.02)
     assert qm.resource_groups.info()["groups"][0]["running"] == 0

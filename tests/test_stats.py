@@ -110,8 +110,10 @@ def test_tpcds_q7_class_join_order():
         return out
 
     for j in joins:
-        # cost-based orientation: build side is always the smaller estimate
-        assert _estimate(j.right, e.catalog) <= \
+        # cost-based orientation: the build side is smaller OR provably
+        # unique (PK builds probe expansion-free — the cost comparator
+        # prefers them even when somewhat larger)
+        assert j.build_unique or _estimate(j.right, e.catalog) <= \
             _estimate(j.left, e.catalog), tables(j.right)
         if tables(j.right) == ["date_dim"]:
             # the filtered dimension is tiny and joins the fact FIRST
