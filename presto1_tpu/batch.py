@@ -325,7 +325,13 @@ def gather_columns(cols: Dict[str, Column], indices: jnp.ndarray,
     return out
 
 
-_GATHER_TEMP_BUDGET = 256 << 20  # padded gather temp cap (bytes)
+# padded gather temp cap (bytes); env-tunable for hardware triage (the
+# chunked lax.map form trades HBM for a while-loop the AOT compiler must
+# unroll-analyze)
+import os as _os
+
+_GATHER_TEMP_BUDGET = int(_os.environ.get("P1_GATHER_TEMP_BUDGET",
+                                          256 << 20))
 
 
 def _stacked_take(M: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
