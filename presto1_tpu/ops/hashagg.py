@@ -31,7 +31,7 @@ from ..batch import Column, RecordBatch
 from ..types import BIGINT, DOUBLE, REAL, DecimalType, SqlType
 from .common import INT64_MAX, iota, pack_key_words
 from .segments import (
-    _scatter_ok, compact_indices, minmax_by_value_sort, segment_bounds,
+    _scatter_ok, compact_indices, minmax_by_value_sort,
     sorted_segment_minmax_cpu, sorted_segment_sum, sorted_segment_sum_multi,
 )
 
@@ -108,7 +108,25 @@ def _group_structure(key_words, max_groups: int, payload=()):
     gid_raw = jnp.cumsum(boundary) - 1
     num_groups = jnp.sum(boundary & real)
     gid_sorted = jnp.where(real, gid_raw, max_groups)
-    starts, ends = segment_bounds(gid_sorted, max_groups)
+    # segment bounds WITHOUT searchsorted: gids are CONSECUTIVE integers
+    # (cumsum of boundary), so group g starts at the position of the g-th
+    # boundary — one 2-operand sort of n instead of two (n + max_groups)
+    # cosort searchsorteds (xplane: the pair cost ~80 ms + copies at Q18's
+    # 6M rows x 6.3M slots, ~20% of the fragment)
+    n_real = jnp.sum(real.astype(jnp.int64))
+    bkey = (~(boundary & real)).astype(jnp.int8)
+    _, bpos = jax.lax.sort((bkey, iota(n).astype(jnp.int32)), num_keys=1)
+    gslots = iota(max_groups)
+    live = gslots < num_groups
+    if max_groups <= n:
+        bsel = bpos[:max_groups].astype(jnp.int64)
+    else:
+        bsel = jnp.concatenate(
+            [bpos.astype(jnp.int64),
+             jnp.zeros((max_groups - n,), jnp.int64)])
+    starts = jnp.where(live, bsel, n_real)
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), n, jnp.int64)])
+    ends = jnp.where(live, jnp.minimum(ends, n_real), n_real)
     repr_idx = jnp.take(order, jnp.clip(starts, 0, n - 1))
     return order, gid_sorted, num_groups, starts, ends, repr_idx, sorted_payload
 
