@@ -190,17 +190,26 @@ def _derive(node: L.LogicalNode, catalog, memo) -> PlanStats:
             rows = lt.rows * rt.rows if node.kind == "cross" \
                 else max(lt.rows, rt.rows)
         else:
-            denom = 1.0
+            # |J| = |L||R| / max(composite-NDV_L, composite-NDV_R).  The
+            # per-side composite NDV is the product of column NDVs CAPPED
+            # by that side's row count — multi-key joins on correlated
+            # columns (Q9's (suppkey, partkey) vs partsupp's PK) otherwise
+            # over-divide by orders of magnitude (JoinStatsRule caps the
+            # same way via row counts).
+            prod_l = prod_r = 1.0
             known = False
             for a, b in node.equis:
                 la = lt.col(a.name) if isinstance(a, ir.ColumnRef) else None
                 rb = rt.col(b.name) if isinstance(b, ir.ColumnRef) else None
-                nds = [c.ndv for c in (la, rb)
-                       if c is not None and c.ndv is not None]
-                if nds:
-                    denom *= max(max(nds), 1.0)
+                if la is not None and la.ndv is not None:
+                    prod_l *= max(la.ndv, 1.0)
+                    known = True
+                if rb is not None and rb.ndv is not None:
+                    prod_r *= max(rb.ndv, 1.0)
                     known = True
             if known:
+                denom = max(min(prod_l, max(lt.rows, 1.0)),
+                            min(prod_r, max(rt.rows, 1.0)), 1.0)
                 rows = lt.rows * rt.rows / denom
             elif node.build_unique:
                 rows = lt.rows
