@@ -336,7 +336,12 @@ class MultiHostEngine:
                    "df_applied": False, "stages": len(stages),
                    "broadcast_sources": sum(
                        1 for st in stages for s in st.sources
-                       if s.mode == "broadcast")}
+                       if s.mode == "broadcast"),
+                   # stages whose tasks emit locally-sorted output
+                   # (distributed sort/TopN: per-task sort + truncation,
+                   # coordinator merge — MergeOperator analog)
+                   "sorted_stages": sum(
+                       1 for st in stages if st.sorted_by is not None)}
         stage_clients: Dict[int, List[RemoteTaskClient]] = {}
 
         def task_sources(st, p: int) -> Optional[dict]:

@@ -315,6 +315,7 @@ def test_distributed_topn(runner, local_engine):
     assert_frames_match(actual, expected, ordered=True)
     # 8 tasks x 10 rows max on the wire, not 60k lineitem rows
     assert info["coordinator_bytes"] < 100_000, info
+    assert info["sorted_stages"] >= 1, info  # the dist-sort stage reported
 
 
 def test_distinct_agg_distributes_by_group(runner, local_engine):
