@@ -271,8 +271,17 @@ def gather_columns(cols: Dict[str, Column], indices: jnp.ndarray,
     for name, c in nested.items():  # [n, W] rows: plain axis-0 takes
         out[name] = c.gather(indices, valid)
     entries: list = []  # (key, u32 array) — the single 32-bit class
+    f64_names = []
     for name, c in cols.items():
         d = c.data
+        if d.dtype == jnp.float64:
+            # f64 through the u32 width-class pack crashes the v5e AOT
+            # compiler at join scale (emulated f64 + bitcast interplay;
+            # minimal repro in BASELINE round-3, the q17/q22 crash class).
+            # f64 join payloads are rare (avg outputs only) — give them a
+            # plain per-column take instead.
+            f64_names.append(name)
+            continue
         if d.dtype.itemsize == 8:
             b = jax.lax.bitcast_convert_type(d, jnp.uint32)  # [n, 2]
             entries.append((name + "\0lo", b[:, 0]))
@@ -305,7 +314,9 @@ def gather_columns(cols: Dict[str, Column], indices: jnp.ndarray,
             gathered[n] = G[:, j]
 
     for name, c in cols.items():
-        if c.data.dtype.itemsize == 8:
+        if name in f64_names:
+            data = jnp.take(c.data, indices, mode="clip")
+        elif c.data.dtype.itemsize == 8:
             pair = jnp.stack([gathered[name + "\0lo"],
                               gathered[name + "\0hi"]], axis=-1)
             data = jax.lax.bitcast_convert_type(pair, c.data.dtype)

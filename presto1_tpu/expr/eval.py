@@ -645,7 +645,23 @@ def _common_pair(ea: Expr, eb: Expr, batch: RecordBatch):
 
 
 def _eval_compare(expr: Call, batch: RecordBatch):
-    a, b, va, vb, _ = _common_pair(expr.args[0], expr.args[1], batch)
+    ea, eb = expr.args[0], expr.args[1]
+    if {ea.type.kind, eb.type.kind} == {"decimal", "double"}:
+        # decimal CMP double: scale the DOUBLE side up by 10^s and compare
+        # against the raw scaled int — equivalent ordering with no f64
+        # division over the (possibly join-expanded) decimal column.
+        # f64 is emulated on TPU; the divide form also crashes the v5e
+        # AOT compiler inside join-residual fusions (q17/q22, BASELINE).
+        a, va, _ = _eval(ea, batch)
+        b, vb, _ = _eval(eb, batch)
+        if ea.type.kind == "decimal":
+            a = a.astype(jnp.float64)
+            b = b * (10.0 ** _scale_of(ea.type))
+        else:
+            a = a * (10.0 ** _scale_of(eb.type))
+            b = b.astype(jnp.float64)
+    else:
+        a, b, va, vb, _ = _common_pair(ea, eb, batch)
     fn = expr.fn
     if fn == "=":
         out = a == b
