@@ -139,12 +139,23 @@ class GroupedCompiledQuery:
         from ..batch import concat_batches, round_capacity
 
         parts = []
+        # double-buffered split pipelining (the exchange/compute-overlap
+        # north star applied across TIME on one chip): shard k+1's
+        # host->HBM upload is dispatched while shard k's program runs —
+        # jax transfers are async, so collecting the next shard's arrays
+        # BEFORE blocking on the current result overlaps PCIe with compute
+        next_inputs = None
         for k in range(self.n_groups):
             cq, cat = self._program_for(k)
-            # re-point the compiled program's inputs at THIS shard's scan
-            # arrays (same shapes -> same XLA executable, new buffers);
-            # the previous shard's arrays become garbage immediately
-            cq.inputs = Executor(cat).scan_inputs(self.partial_plan)
+            if next_inputs is not None and next_inputs[0] == k:
+                cq.inputs = next_inputs[1]
+            else:
+                cq.inputs = Executor(cat).scan_inputs(self.partial_plan)
+            if k + 1 < self.n_groups:
+                ncq, ncat = self._program_for(k + 1)
+                next_inputs = (k + 1,
+                               Executor(ncat).scan_inputs(
+                                   self.partial_plan))
             try:
                 out = cq()
             except ExecError:
