@@ -239,6 +239,16 @@ class Executor:
         child = self.execute(node.child, path + (0,))
         arr = eval_expr(self._bind(node.array, child), child)
         n = child.capacity()
+        if int(arr.data.shape[1]) == 0:
+            # zero-width element matrix (``array[]`` literal): pad to one
+            # lane so the flatten below is well-formed; lengths are all 0,
+            # so no lane is live and the unnest emits zero rows
+            from dataclasses import replace as _rp
+
+            pad = jnp.zeros((n, 1), arr.data.dtype)
+            mv = (jnp.zeros((n, 1), arr.map_values.dtype)
+                  if arr.map_values is not None else None)
+            arr = _rp(arr, data=pad, map_values=mv)
         w = max(int(arr.data.shape[1]), 1)
         lanes = (jnp.arange(w, dtype=jnp.int32)[None, :]
                  < arr.lengths[:, None])

@@ -148,6 +148,35 @@ def concat_batches(batches, device: bool = True) -> Optional[RecordBatch]:
     for name in names:
         parts = [(b[name], b.num_rows) for b in batches]
         t = parts[0][0].type
+        if any(p.is_nested for p, _ in parts):
+            # nested [n, W] element matrices: pad every part to the max W
+            # before concatenating, and carry lengths/map_values through
+            w = max(np.asarray(p.data).shape[1] for p, _ in parts)
+
+            def _pad_w(m):
+                m = np.asarray(m)
+                if m.shape[1] == w:
+                    return m
+                return np.concatenate(
+                    [m, np.zeros((m.shape[0], w - m.shape[1]), m.dtype)],
+                    axis=1)
+
+            data = np.concatenate([_pad_w(p.data[:n]) for p, n in parts])
+            lengths = np.concatenate(
+                [np.asarray(p.lengths)[:n] for p, n in parts])
+            mv = None
+            if any(p.map_values is not None for p, _ in parts):
+                mv = np.concatenate(
+                    [_pad_w(p.map_values[:n]) for p, n in parts])
+            validity = None
+            if any(p.validity is not None for p, _ in parts):
+                validity = np.concatenate([
+                    np.asarray(p.validity)[:n] if p.validity is not None
+                    else np.ones(n, dtype=bool)
+                    for p, n in parts])
+            cols[name] = Column(data, t, validity=validity,
+                                lengths=lengths, map_values=mv)
+            continue
         if any(p.dictionary is not None for p, _ in parts):
             union = np.unique(np.concatenate(
                 [p.dictionary for p, _ in parts if p.dictionary is not None]))
@@ -184,18 +213,27 @@ def _to_device(batch: RecordBatch) -> RecordBatch:
     n = batch.num_rows
     cap = round_capacity(n)
     cols = {}
+
+    def _pad_rows(a: np.ndarray) -> np.ndarray:
+        if a.shape[0] >= cap:
+            return a
+        pad = np.zeros((cap - a.shape[0],) + a.shape[1:], dtype=a.dtype)
+        return np.concatenate([a, pad])
+
     with jax.default_device(jax.devices()[0]):
         for name, c in batch.columns.items():
-            data = np.asarray(c.data)
-            if data.shape[0] < cap:
-                pad = np.zeros(cap - data.shape[0], dtype=data.dtype)
-                data = np.concatenate([data, pad])
+            data = _pad_rows(np.asarray(c.data))
             validity = c.validity
             if validity is not None:
                 v = np.asarray(validity)
                 if v.shape[0] < cap:
                     v = np.concatenate([v, np.zeros(cap - v.shape[0], bool)])
                 validity = jnp.asarray(v)
+            lengths = (jnp.asarray(_pad_rows(np.asarray(c.lengths)))
+                       if c.lengths is not None else None)
+            mv = (jnp.asarray(_pad_rows(np.asarray(c.map_values)))
+                  if c.map_values is not None else None)
             cols[name] = Column(jnp.asarray(data), c.type, validity=validity,
-                                dictionary=c.dictionary)
+                                dictionary=c.dictionary, lengths=lengths,
+                                map_values=mv)
     return RecordBatch(cols, n)

@@ -241,6 +241,11 @@ class StageDagBuilder:
                       extra_sources=[RemoteSource((1,), rid, "partition")])
             if node.kind == "inner":
                 lr.hash_keys_alts.append(list(rks))
+            elif node.kind == "full":
+                # unmatched build rows carry NULL left keys but physically
+                # sit in hash(rks) partitions — the output is partitioned
+                # on NOTHING a downstream consumer could rely on
+                lr.hash_keys_alts = []
             return lr
         if (rr.dist == "hash" and rr.partitioned_on(rks)
                 and node.kind == "inner"):
@@ -256,7 +261,18 @@ class StageDagBuilder:
         lid = self._close(lr, partition_keys=lks)
         rid = self._close(rr, partition_keys=rks,
                           collect_domains=rks if df_ok else None)
-        alts = [list(lks)]
+        # Only join kinds whose output cannot contain NULL-extended keys on
+        # a side may register that side's keys as a partitioning
+        # alternative: a FULL join's unmatched build rows have NULL left
+        # keys yet physically sit in hash(rks) partitions, so a downstream
+        # co_grouped aggregate on lks would split the NULL group across
+        # tasks (right joins are normalized to left in the planner).
+        if node.kind == "full":
+            alts = []
+        elif node.kind == "right":
+            alts = [list(rks)]
+        else:  # inner / left / semi / anti: left keys are never NULL-padded
+            alts = [list(lks)]
         if node.kind == "inner":
             alts.append(list(rks))
         out = _Open(

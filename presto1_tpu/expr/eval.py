@@ -955,10 +955,20 @@ def _eval_array_fn(expr: Call, batch: RecordBatch):
     d, v, dic = nested(0)
     lam = expr.args[1]
     assert isinstance(lam, Lambda)
-    w = max(d.data.shape[1], 1)
     rows = d.data.shape[0]
-    flat = d.data.reshape(rows * d.data.shape[1]) if d.data.shape[1] \
-        else jnp.zeros((rows,), d.data.dtype)
+    if d.data.shape[1] == 0:
+        # zero-width element matrix (e.g. ``array[]`` literals): every row
+        # is empty — the flatten/reshape round-trip below has no elements
+        # to carry, so answer directly (ADVICE r3: reshape(rows, 0) crash)
+        if fn == "transform":
+            return _Nested(d.data, d.lengths), v, dic
+        if fn == "filter":
+            return _Nested(d.data,
+                           jnp.zeros((rows,), jnp.int32)), v, dic
+        out = (jnp.ones((rows,), bool) if fn in ("all_match", "none_match")
+               else jnp.zeros((rows,), bool))
+        return _norm(out, v), v, None
+    flat = d.data.reshape(rows * d.data.shape[1])
     elem_t = expr.args[0].type.element
     cols = {lam.params[0]: Column(flat, elem_t, dictionary=dic)}
     # outer columns referenced by the body broadcast element-wise

@@ -92,15 +92,19 @@ def _paginate(out, lo0: int, n: int) -> list:
     from ..batch import RecordBatch
     from ..exec.pages import serialize_batch
 
+    from dataclasses import replace as _replace
+
     pages = []
     for lo in range(lo0, max(n, lo0 + 1), PAGE_MAX_ROWS):
         hi = min(lo + PAGE_MAX_ROWS, n)
-        cols = {
-            name: c.with_data(
-                c.data[lo:hi],
-                c.validity[lo:hi] if c.validity is not None else None)
-            for name, c in out.columns.items()
-        }
+        cols = {}
+        for name, c in out.columns.items():
+            cols[name] = _replace(
+                c, data=c.data[lo:hi],
+                validity=c.validity[lo:hi] if c.validity is not None else None,
+                lengths=c.lengths[lo:hi] if c.lengths is not None else None,
+                map_values=(c.map_values[lo:hi]
+                            if c.map_values is not None else None))
         pages.append(serialize_batch(RecordBatch(cols, max(hi - lo, 0))))
         if hi >= n:
             break
@@ -162,18 +166,25 @@ def _partition_output(out, n: int, keys, count: int) -> list:
 
     host_cols = {name: (np.asarray(c.data[:n]),
                         None if c.validity is None
-                        else np.asarray(c.validity[:n]))
+                        else np.asarray(c.validity[:n]),
+                        None if c.lengths is None
+                        else np.asarray(c.lengths[:n]),
+                        None if c.map_values is None
+                        else np.asarray(c.map_values[:n]))
                  for name, c in out.columns.items()}
     for p in range(count):
         sel = part == p
         cols = {}
-        for name, (data, validity) in host_cols.items():
+        for name, (data, validity, lengths, mv) in host_cols.items():
             c = out[name]
             cols[name] = Column(
                 jnp.asarray(data[sel]), c.type,
                 validity=None if validity is None
                 else jnp.asarray(validity[sel]),
-                dictionary=c.dictionary)
+                dictionary=c.dictionary,
+                lengths=None if lengths is None
+                else jnp.asarray(lengths[sel]),
+                map_values=None if mv is None else jnp.asarray(mv[sel]))
         buffers.append(_paginate(RecordBatch(cols, int(sel.sum())),
                                  0, int(sel.sum())))
     return buffers

@@ -365,3 +365,57 @@ def test_distributed_explain_analyze(runner):
     text = runner.engine.explain_analyze(
         "select count(*) from lineitem where l_quantity < 10")
     assert "Stage 0" in text and "Aggregate" in text and "ms across" in text
+
+
+def _stage_dag_for(sql, broadcast_threshold=0):
+    from presto1_tpu.exec.stage_dag import build_stage_dag
+    from presto1_tpu.sql import parser as sql_parser
+    from presto1_tpu.sql.optimizer import optimize
+    from presto1_tpu.sql.planner import Planner
+
+    cat = TpchCatalog("tiny")
+    plan = optimize(Planner(cat).plan(sql_parser.parse(sql)), cat)
+    return build_stage_dag(plan, cat,
+                           broadcast_threshold=broadcast_threshold)
+
+
+def test_full_join_registers_no_partition_alts():
+    """ADVICE r3: a repartitioned FULL join's output carries NULL-extended
+    keys on BOTH sides scattered across hash partitions — downstream
+    aggregates must NOT run co-grouped in the join stage."""
+    inner = ("select n_nationkey, count(*) c from nation join supplier "
+             "on n_nationkey = s_nationkey group by n_nationkey")
+    full = ("select n_nationkey, count(*) c from nation full join supplier "
+            "on n_nationkey = s_nationkey group by n_nationkey")
+    _, _, inner_stages = _stage_dag_for(inner)
+    _, _, full_stages = _stage_dag_for(full)
+    # inner: agg co-grouped in the join stage; full: extra partial/final
+    # split with a FIXED_HASH exchange on the group keys
+    assert len(full_stages) > len(inner_stages)
+    assert any(st.partition_keys and len(st.partition_keys) == 1
+               and st.partition_keys[0].startswith("n_nationkey")
+               and st.distribution == "hash" for st in full_stages)
+
+
+def test_full_join_null_group_multihost(runner, local_engine):
+    """Unmatched build rows (NULL left keys) aggregate into ONE NULL group
+    across tasks (would duplicate if the agg ran co-grouped in-stage)."""
+    sql = ("select n_nationkey, count(*) c from "
+           "(select * from nation where n_nationkey < 10) n "
+           "full join supplier on n_nationkey = s_nationkey "
+           "group by n_nationkey order by n_nationkey")
+    actual = runner.engine.sql(sql).to_pandas()
+    expected = local_engine.sql_pandas(sql)
+    assert_frames_match(actual, expected, ordered=True)
+
+
+def test_array_column_through_partitioned_exchange(runner, local_engine):
+    """ADVICE r3: nested columns lost lengths crossing DCN exchanges."""
+    sql = ("select n_name, sum(cardinality(filter(a, x -> x >= 50))) c "
+           "from (select s_nationkey k, array[s_suppkey, s_nationkey] a "
+           "      from supplier) t "
+           "join nation on k = n_nationkey "
+           "group by n_name order by n_name")
+    actual = runner.engine.sql(sql).to_pandas()
+    expected = local_engine.sql_pandas(sql)
+    assert_frames_match(actual, expected, ordered=True)
