@@ -30,6 +30,12 @@ class Table:
         # guaranteed unique (primary keys), consumed by the optimizer's
         # build-side N:1 detection instead of any hardcoded table list
         self.unique_keys: List[Tuple[str, ...]] = []
+        # physical sort order of the stored rows (lexicographic ascending,
+        # no NULLs in these columns); consumed by the executor's
+        # order-propagation (exec/ordering.py) to elide grouping/build
+        # sorts — the connector analog of sorted-table properties
+        # (reference: ConnectorTableProperties / local properties)
+        self.sort_columns: List[str] = []
 
     @property
     def num_rows(self) -> int:
@@ -108,6 +114,11 @@ class TpchTable(Table):
         from ..tpch.schema import PRIMARY_KEYS
 
         self.unique_keys = PRIMARY_KEYS.get(name, [])
+        # dbgen emits every table ordered by its primary key (verified
+        # at SF1: all 8 tables monotone in PK; the reference's generator
+        # io.trino.tpch iterates row numbers the same way)
+        if self.unique_keys:
+            self.sort_columns = list(self.unique_keys[0])
         self.gen = gen
         self.cache_dir = cache_dir
         self._num_rows: Optional[int] = None
@@ -202,6 +213,8 @@ class ShardedTable(Table):
     def __init__(self, base: Table, index: int, count: int):
         super().__init__(base.name, list(base.schema.items()))
         self.base = base
+        self.unique_keys = list(base.unique_keys)
+        self.sort_columns = list(base.sort_columns)  # contiguous slice
         n = base.num_rows
         self.lo = n * index // count
         self.hi = n * (index + 1) // count

@@ -80,6 +80,10 @@ class Executor:
         self.capture_paths: set = set()
         self.captured: Dict[Path, RecordBatch] = {}
         self.overflow_checks: List[jnp.ndarray] = []
+        # physical sort-order chains per executed path (exec/ordering.py);
+        # derived in eager mode, where they drive the clustered-aggregation
+        # and sorted-build decisions recorded for compiled replay
+        self.chains: Dict[Path, Optional[list]] = {}
 
     def _check_capacity(self, total, capacity: int):
         """Compiled mode: record a traced guard that the data still fits
@@ -154,9 +158,65 @@ class Executor:
             # cumulative wall time (includes children) — rendered as such
             self.stats.record(path, type(node).__name__, "",
                               _time.time() - t0, rows, out.capacity())
+        if not self.compiled:
+            self.chains[path] = self._derive_chain(node, path)
         if path in self.capture_paths:
             self.captured[path] = out
         return out
+
+    def _derive_chain(self, node: LogicalNode, path: Path):
+        """Physical sort order of this node's output (None = unknown).
+        Children's chains are already derived (post-order)."""
+        from . import ordering as O
+
+        rec = self.record.get(path) or {}
+        if rec.get("spilled"):
+            return None  # spill partitioning destroyed the input order
+
+        def ch(i: int):
+            return self.chains.get(path + (i,))
+
+        if isinstance(node, Scan):
+            return O.chain_from_table(self._scan_table(node), node.symbols)
+        if isinstance(node, (Filter, Limit)):
+            return ch(0)  # stable compaction / prefix keep
+        if isinstance(node, Unnest):
+            return O.restrict_chain(ch(0), node.schema)
+        if isinstance(node, Project):
+            return O.project_chain(ch(0), node.outputs)
+        if isinstance(node, Join):
+            # hash-join output is ordered by probe row (prefix-sum
+            # expansion / stable compaction); FULL appends the anti part
+            if node.kind == "full":
+                return None
+            c = ch(0)
+            if node.kind == "inner" and node.equis:
+                c = O.add_equivalences(c, node.equis)
+            return O.restrict_chain(c, node.schema)
+        if isinstance(node, Aggregate):
+            primary = node.primary or node.group
+            if not primary:
+                return []
+            if rec.get("clustered"):
+                base = self.chains.get(path + (0,))
+                if base is None:
+                    base = self.chains.get(path + (0, 0))
+                k = O.covers_prefix_k(base, primary)
+                return O.restrict_chain(
+                    None if not k else base[:k], node.schema)
+            # sorted/dense grouping emits groups in lexicographic primary
+            # order (pack_key_words packs the first key most significant)
+            return [{s} for s in primary]
+        if isinstance(node, Sort):
+            out = []
+            for e, asc, _nf in node.keys:
+                if not (isinstance(e, ir.ColumnRef) and asc):
+                    break
+                out.append({e.name})
+            return out
+        if isinstance(node, SingleRow):
+            return []
+        return None  # Window / Union / DML / unknown
 
     def _x_Output(self, node: Output, path: Path) -> RecordBatch:
         b = self.execute(node.child, path + (0,))
@@ -333,6 +393,18 @@ class Executor:
         ranges = self._ranges(path, "ranges", [c for _, c in keys],
                               child.num_rows)
         rec = self._rec(path)
+        if not self.compiled:
+            # clustered grouping: equal keys already adjacent in the input
+            # (proved from connector sort metadata via the order chains) —
+            # the grouping sort is elided (StreamingAggregation analog).
+            # Sticky-false across eager reruns so compiled replay matches.
+            from . import ordering as O
+
+            base = self.chains.get(path + (0,))
+            if base is None:
+                base = self.chains.get(path + (0, 0))
+            cl = (mask is None and O.covers_prefix(base, primary))
+            rec["clustered"] = rec.get("clustered", True) and cl
         if self.compiled:
             max_groups = rec["max_groups"]
         else:
@@ -348,7 +420,8 @@ class Executor:
             rec["max_groups"] = max_groups
         out = group_aggregate(keys, aggs, child.num_rows, ranges, max_groups,
                               mask=mask, carry=carry,
-                              checks=self.overflow_checks)
+                              checks=self.overflow_checks,
+                              clustered=rec.get("clustered", False))
         return self._shrink(out)
 
     def _dynamic_filter(self, rec: dict, lb: RecordBatch, rb: RecordBatch,
@@ -475,6 +548,23 @@ class Executor:
                           for a, b in zip(ranges, rec["ranges"])]
             rec["ranges"] = ranges
 
+        if not self.compiled:
+            # build side already sorted by the join key columns in key
+            # order (order chains): the build sort in _probe_ranges is an
+            # identity — skip it.  NULLs would break it (null_high packs
+            # them to the top), so every build key must be non-nullable.
+            from . import ordering as O
+
+            rchain = self.chains.get(path + (1,))
+            bs = rchain is not None and len(rchain) >= len(node.equis)
+            for i, (_, b) in enumerate(node.equis):
+                bs = bs and isinstance(b, ir.ColumnRef) \
+                    and rb[rkeys[i]].validity is None \
+                    and bool(rchain) and i < len(rchain) \
+                    and b.name in rchain[i]
+            rec["build_sorted"] = rec.get("build_sorted", True) and bs
+        build_sorted = rec.get("build_sorted", False)
+
         residual = None
         if node.residual is not None:
             merged = RecordBatch({**lb.columns, **rb.columns}, 0)
@@ -486,14 +576,16 @@ class Executor:
             if residual is not None:
                 if self.compiled:
                     out = hash_join(lb, rb, lkeys, rkeys, node.kind, ranges,
-                                    rec["pairs_capacity"], residual=residual)
+                                    rec["pairs_capacity"], residual=residual,
+                                    build_sorted=build_sorted)
                 else:
                     cap_pairs = round_capacity(max(int(lb.num_rows) * 4, 128))
                     while True:
                         stats: Dict[str, object] = {}
                         out = hash_join(lb, rb, lkeys, rkeys, node.kind,
                                         ranges, cap_pairs, residual=residual,
-                                        stats=stats)
+                                        stats=stats,
+                                        build_sorted=build_sorted)
                         pairs_total = int(stats["pairs_total"])  # type: ignore[arg-type]
                         if pairs_total <= cap_pairs:
                             break
@@ -501,7 +593,8 @@ class Executor:
                     rec["pairs_capacity"] = max(
                         cap_pairs, rec.get("pairs_capacity", 0))
             else:
-                out = hash_join(lb, rb, lkeys, rkeys, node.kind, ranges, cap)
+                out = hash_join(lb, rb, lkeys, rkeys, node.kind, ranges, cap,
+                                build_sorted=build_sorted)
             if not self.compiled:
                 rec["capacity"] = max(cap, rec.get("capacity", 0))
             out = self._drop_temp(out)
@@ -517,7 +610,8 @@ class Executor:
             stats: Dict[str, object] = {}
             out = hash_join(lb, rb, lkeys, rkeys, node.kind, ranges, cap,
                             residual=residual, stats=stats,
-                            build_unique=node.build_unique)
+                            build_unique=node.build_unique,
+                            build_sorted=build_sorted)
             self._check_capacity(out.num_rows, cap)
             if residual is not None and "pairs_total" in stats:
                 # a residual join compacts AFTER expansion: the pair buffer
@@ -532,7 +626,8 @@ class Executor:
                 stats = {}
                 out = hash_join(lb, rb, lkeys, rkeys, node.kind, ranges, cap,
                                 residual=residual, stats=stats,
-                                build_unique=node.build_unique)
+                                build_unique=node.build_unique,
+                                build_sorted=build_sorted)
                 total = int(out.num_rows)
                 if "pairs_total" in stats:
                     total = max(total, int(stats["pairs_total"]))  # type: ignore[arg-type]

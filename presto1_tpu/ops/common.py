@@ -74,32 +74,43 @@ def pack_key_words(
     """Bit-pack key columns into as few int64 words as needed.
 
     Each column is normalised to ``value - min + 1`` (0 is reserved for
-    NULL, or the per-column top code when ``null_high``), then packed
-    little-endian by shifts, opening a new word when 63 bits fill up.
-    Rows beyond ``num_rows`` or excluded by ``mask`` get the global
-    sentinel INT64_MAX in every word so they sort to the end.
+    NULL, or the per-column top code when ``null_high``), opening a new
+    word when 63 bits fill up.  Within a word the FIRST column takes the
+    HIGHEST bits, so comparing the word list (word 0 primary) orders rows
+    lexicographically ascending by (col 1, col 2, ...) — grouping sorts
+    therefore emit groups in key order, and a single- or multi-column
+    sorted input stays sorted after packing (exec/ordering.py relies on
+    both).  Rows beyond ``num_rows`` or excluded by ``mask`` get the
+    global sentinel INT64_MAX in every word so they sort to the end.
     """
     widths = []
     for (lo, hi) in ranges:
         span = hi - lo + 2  # +1 for null slot, +1 so max value < 2**w
         widths.append(max(min(int(span).bit_length(), 63), 1))
     n = len(cols[0])
+    # greedy first-fit grouping of columns into 63-bit words (in order)
+    groups: List[List[int]] = [[]]
+    used = 0
+    for i, w in enumerate(widths):
+        if used + w > 63:
+            groups.append([])
+            used = 0
+        groups[-1].append(i)
+        used += w
     words: List[jnp.ndarray] = []
-    word = jnp.zeros((n,), dtype=jnp.int64)
-    shift = 0
-    for c, (lo, hi), w in zip(cols, ranges, widths):
-        if shift + w > 63:
-            words.append(word)
-            word = jnp.zeros((n,), dtype=jnp.int64)
-            shift = 0
-        v = c.data.astype(jnp.int64) - lo + 1
-        v = jnp.clip(v, 0, (1 << w) - 1)
-        if c.validity is not None:
-            nullcode = (hi - lo + 2) if null_high else 0
-            v = jnp.where(c.validity, v, nullcode)
-        word = word | (v << shift)
-        shift += w
-    words.append(word)
+    for g in groups:
+        word = jnp.zeros((n,), dtype=jnp.int64)
+        shift = sum(widths[i] for i in g)
+        for i in g:  # earlier column -> higher bits
+            c, (lo, hi), w = cols[i], ranges[i], widths[i]
+            shift -= w
+            v = c.data.astype(jnp.int64) - lo + 1
+            v = jnp.clip(v, 0, (1 << w) - 1)
+            if c.validity is not None:
+                nullcode = (hi - lo + 2) if null_high else 0
+                v = jnp.where(c.validity, v, nullcode)
+            word = word | (v << shift)
+        words.append(word)
     idx = jnp.arange(n)
     dead = idx >= num_rows
     if mask is not None:

@@ -88,16 +88,27 @@ def _guard_limb_total(slo, shi, checks):
     return shi * _LIMB + slo
 
 
-def _group_structure(key_words, max_groups: int, payload=()):
+def _group_structure(key_words, max_groups: int, payload=(),
+                     clustered: bool = False):
     """Sort the packed key word(s); derive segment bounds — no scatters.
     ``payload`` arrays ride the sort as extra operands (TPU gathers are
-    ~24x slower than sort-carried payloads)."""
+    ~24x slower than sort-carried payloads).
+
+    ``clustered=True`` asserts equal keys are ALREADY adjacent (input
+    physically sorted/clustered on the group keys — exec/ordering.py
+    proves it from connector sort metadata): the dominant multi-operand
+    sort disappears entirely; only the boundary scan and the 2-operand
+    boundary-position sort remain (StreamingAggregationOperator analog)."""
     n = key_words[0].shape[0]
-    out = jax.lax.sort(tuple(key_words) + (iota(n),) + tuple(payload),
-                       num_keys=len(key_words))
     nw = len(key_words)
-    sorted_words, order = out[:nw], out[nw]
-    sorted_payload = out[nw + 1:]
+    if clustered:
+        sorted_words, order = key_words, iota(n)
+        sorted_payload = tuple(payload)
+    else:
+        out = jax.lax.sort(tuple(key_words) + (iota(n),) + tuple(payload),
+                           num_keys=len(key_words))
+        sorted_words, order = out[:nw], out[nw]
+        sorted_payload = out[nw + 1:]
     boundary = jnp.concatenate([
         jnp.ones((1,), dtype=bool),
         jnp.zeros((n - 1,), dtype=bool)]) if n else jnp.zeros((0,), bool)
@@ -288,8 +299,15 @@ def group_aggregate(
     mask: Optional[jnp.ndarray] = None,
     carry: Sequence[Tuple[str, Column]] = (),
     checks: Optional[list] = None,
+    clustered: bool = False,
 ) -> RecordBatch:
     """Grouped aggregation.  ``mask`` fuses an upstream filter for free.
+
+    ``clustered=True``: equal key tuples are already adjacent in row order
+    (and live rows form a prefix), so the grouping sort is skipped — see
+    ``_group_structure``.  Caller must guarantee the property (the
+    executor proves it from connector sort metadata) and must NOT pass a
+    ``mask`` (masked-out rows inside a cluster would surface as groups).
 
     ``checks`` (the executor's overflow_checks list) receives traced
     guards for wide-decimal sums that cannot be statically proven to fit
@@ -317,11 +335,18 @@ def group_aggregate(
         return _dense_group_aggregate(keys, aggs, num_rows, ranges,
                                       max_groups, dense_domain, mask, carry,
                                       checks)
+    if clustered and mask is not None:
+        clustered = False
     words = pack_key_words(key_cols, ranges, num_rows, mask=mask)
     int_cols, float_cols, plans = _collect_plans(aggs)
     payload = tuple(int_cols) + tuple(float_cols)
     (order, gid_sorted, num_groups, starts, ends, repr_idx,
-     sorted_payload) = _group_structure(words, max_groups, payload)
+     sorted_payload) = _group_structure(words, max_groups, payload,
+                                        clustered=clustered)
+    # value sorts (min/max, percentiles) need a key that is ascending in
+    # the SEGMENT order: the packed words after the grouping sort, or the
+    # (already nondecreasing) gid stream on the clustered path
+    vkeys = (gid_sorted,) if clustered else words
     ni = len(int_cols)
     sums = fsums = None
     if ni:
@@ -340,13 +365,13 @@ def group_aggregate(
     out.update(rep_cols)
     # key columns of dead slots are garbage but num_rows masks them
     agg_out = _finalize_aggs(plans, sums, fsums, starts, ends, order,
-                             words, max_groups, checks)
+                             vkeys, max_groups, checks)
     for name, col in agg_out.items():
         if col.validity is not None:
             col = col.with_data(col.data, col.validity & group_live)
         out[name] = col
     for spec in pctl_specs:
-        out[spec.name] = _segment_percentile(spec, words, starts, ends,
+        out[spec.name] = _segment_percentile(spec, vkeys, starts, ends,
                                              group_live)
     return RecordBatch(out, num_groups)
 
@@ -477,17 +502,19 @@ DENSE_MAX_GROUPS = 32
 
 
 def pack_dense_word(key_cols, ranges, num_rows, mask):
-    """Mixed-radix group word: word = sum_i (v_i * prod_{j<i} span_j).
+    """Mixed-radix group word, FIRST key most significant (word order =
+    lexicographic key order, matching ``pack_key_words``).
 
-    Unlike the bit-packed sort keys (``pack_key_words``), the dense path
-    iterates every candidate word, so the domain must be tight: the
-    product of exact per-key spans, not the next power of two.  Dead or
-    masked-out rows get the out-of-domain sentinel (= domain size)."""
+    Unlike the bit-packed sort keys, the dense path iterates every
+    candidate word, so the domain must be tight: the product of exact
+    per-key spans, not the next power of two.  Dead or masked-out rows
+    get the out-of-domain sentinel (= domain size)."""
     n = len(key_cols[0])
+    spans = [int(hi - lo + 2) for lo, hi in ranges]  # 0 reserved for NULL
     word = jnp.zeros((n,), dtype=jnp.int64)
     stride = 1
-    for c, (lo, hi) in zip(key_cols, ranges):
-        span = int(hi - lo + 2)  # 0 reserved for NULL
+    for c, (lo, hi), span in zip(reversed(key_cols), reversed(ranges),
+                                 reversed(spans)):
         v = c.data.astype(jnp.int64) - lo + 1
         v = jnp.clip(v, 0, span - 1)
         if c.validity is not None:

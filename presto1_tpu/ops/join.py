@@ -36,7 +36,8 @@ from .common import (
 from .segments import compact_indices, sorted_segment_sum
 
 
-def _probe_ranges(probe, build, probe_keys, build_keys, ranges):
+def _probe_ranges(probe, build, probe_keys, build_keys, ranges,
+                  build_sorted: bool = False):
     """Returns (lo, counts, bperm, live, needs_verify).  Wide composite
     keys (>63 bits) fall back to a 62-bit mix whose candidate matches the
     caller verifies against the real key columns.
@@ -62,8 +63,14 @@ def _probe_ranges(probe, build, probe_keys, build_keys, ranges):
         bk = mix_key_word(bcols, ranges, build.num_rows, null_high=True)
         pk = mix_key_word(pcols, ranges, probe.num_rows)
         needs_verify = True
-    sorted_bk, bperm = jax.lax.sort((bk, iota(nb).astype(jnp.int32)),
-                                    num_keys=1)
+    if build_sorted and not needs_verify:
+        # build rows already ascending in the (single) key with live rows
+        # a prefix (exec/ordering.py proves it): packing is monotone and
+        # dead-row sentinels trail, so the sorted view IS the input
+        sorted_bk, bperm = bk, jnp.arange(nb, dtype=jnp.int32)
+    else:
+        sorted_bk, bperm = jax.lax.sort((bk, iota(nb).astype(jnp.int32)),
+                                        num_keys=1)
     # int32 positions throughout: int64-indexed gathers are ~2x slower
     lo = searchsorted_fast(sorted_bk, pk, side="left").astype(jnp.int32)
     live = iota(np_) < probe.num_rows
@@ -156,9 +163,11 @@ def hash_join(
     residual: Optional[Expr] = None,
     stats: Optional[dict] = None,
     build_unique: bool = False,
+    build_sorted: bool = False,
 ) -> RecordBatch:
     lo, counts, bperm, live, needs_verify = _probe_ranges(
-        probe, build, probe_keys, build_keys, ranges)
+        probe, build, probe_keys, build_keys, ranges,
+        build_sorted=build_sorted)
 
     if build_unique and residual is None and not needs_verify \
             and kind in ("inner", "left"):

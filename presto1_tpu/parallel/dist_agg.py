@@ -135,9 +135,11 @@ def distributed_group_aggregate(
     # collective rendezvous deadlock on shared device threads)
     jax.block_until_ready(partials)
 
-    # final combine on replicated partial tables
+    # final combine on replicated partial tables (carry columns — group
+    # columns functionally dependent on the primary keys — ride through
+    # as representative-row payloads, same as in group_aggregate)
     fcols = {}
-    for name in key_names:
+    for name in list(key_names) + list(carry_names):
         fcols[name] = Column(partials[name], types[name][0],
                              dictionary=types[name][1])
     total_rows = n_dev * max_groups
@@ -166,10 +168,11 @@ def distributed_group_aggregate(
 
     keys = [(k, fcols[k]) for k in key_names]
     out = group_aggregate(keys, final_specs, total_rows, ranges, max_groups,
-                          mask=live)
+                          mask=live,
+                          carry=[(k, fcols[k]) for k in carry_names])
 
     # stitch avg columns
-    cols = {k: out[k] for k in key_names}
+    cols = {k: out[k] for k in list(key_names) + list(carry_names)}
     for fname, kind, pnames in recipe:
         if kind == "avg_combine":
             s = out[pnames[0] + "_f"]

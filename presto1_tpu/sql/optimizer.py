@@ -738,7 +738,8 @@ def _prune(node: LogicalNode, needed: Set[str]) -> LogicalNode:
         for a in aggs:
             if a.arg is not None:
                 child_needed |= _refs(a.arg)
-        return Aggregate(_prune(node.child, child_needed), node.group, aggs)
+        return Aggregate(_prune(node.child, child_needed), node.group, aggs,
+                         node.primary)
     if isinstance(node, Join):
         child_needed = set(needed)
         for a, b in node.equis:
