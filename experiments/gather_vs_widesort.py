@@ -34,7 +34,16 @@ def bench(fn, *a, reps=5):
     return compile_s, (time.time() - t0) / reps
 
 
-if case.startswith("sort"):
+if case == "sortpair9":
+    # pair-packed: 18 u32 entries as 9 i64 payloads + i8 key (compact shape)
+    pays = tuple(jnp.asarray(rng.randint(0, 1 << 60, n).astype(np.int64))
+                 for _ in range(9))
+    k8 = (key & 1).astype(jnp.int8)
+    f = jax.jit(lambda k, *p: jax.lax.sort((k,) + p, num_keys=1,
+                                           is_stable=True))
+    c, w = bench(f, k8, *pays)
+    print(f"{case}: compile {c:.1f}s warm {w*1e3:.1f}ms")
+elif case.startswith("sort"):
     k = int(case[4:])
     pays = tuple(jnp.asarray(rng.randint(0, 1 << 30, n).astype(np.uint32))
                  for _ in range(k))
@@ -68,4 +77,14 @@ elif case == "gather1d":
     src = jnp.asarray(rng.randint(0, 1 << 30, n).astype(np.uint32))
     f = jax.jit(lambda s, i: jnp.take(s, i, mode="clip"))
     c, w = bench(f, src, idx)
+    print(f"{case}: compile {c:.1f}s warm {w*1e3:.1f}ms")
+
+if case == "sortpair9":
+    # pair-packed: 18 u32 entries as 9 i64 payloads + i8 key (compact shape)
+    pays = tuple(jnp.asarray(rng.randint(0, 1 << 60, n).astype(np.int64))
+                 for _ in range(9))
+    k8 = (key & 1).astype(jnp.int8)
+    f = jax.jit(lambda k, *p: jax.lax.sort((k,) + p, num_keys=1,
+                                           is_stable=True))
+    c, w = bench(f, k8, *pays)
     print(f"{case}: compile {c:.1f}s warm {w*1e3:.1f}ms")

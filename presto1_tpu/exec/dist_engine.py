@@ -213,11 +213,13 @@ class RemoteTaskClient:
     def create(self, fragment_json: dict, shard: Optional[dict],
                sources: Optional[dict] = None,
                partitioning: Optional[dict] = None,
-               collect_domains: Optional[List[str]] = None) -> None:
+               collect_domains: Optional[List[str]] = None,
+               collect_stats: bool = False) -> None:
         body = json.dumps({"fragment": fragment_json, "shard": shard,
                            "sources": sources,
                            "output_partitioning": partitioning,
-                           "collect_domains": collect_domains}).encode()
+                           "collect_domains": collect_domains,
+                           "collect_stats": collect_stats}).encode()
         self._rpc("POST", f"/v1/task/{self.task_id}", body)
 
     def status(self) -> dict:
@@ -389,7 +391,8 @@ class MultiHostEngine:
                 client.create(frag_json, shard,
                               sources=task_sources(st, p),
                               partitioning=part,
-                              collect_domains=st.collect_domains)
+                              collect_domains=st.collect_domains,
+                              collect_stats=info is not None)
                 clients.append(client)
             stage_clients[sid] = clients
             metrics["stage1_tasks" if st.distribution == "source"

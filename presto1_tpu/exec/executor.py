@@ -65,9 +65,15 @@ class Executor:
                  scan_arrays: Optional[Dict[str, jnp.ndarray]] = None,
                  stats=None, stubs: Optional[Dict[Path, RecordBatch]] = None,
                  memory=None, dynamic_filtering: bool = True,
-                 spill_threshold: int = 0):
+                 spill_threshold: int = 0, guard_ranges: bool = False):
         self.catalog = catalog
         self.compiled = compiled
+        # compiled fragments re-run against DIFFERENT external stub data
+        # (worker program cache) must guard every data-derived recorded
+        # value: key ranges clip out-of-range keys silently (distinct
+        # groups would collide), so emit traced in-range checks that trip
+        # the overflow fallback instead
+        self.guard_ranges = guard_ranges
         self.record: Dict[Path, dict] = record if record is not None else {}
         self.scan_arrays = scan_arrays
         self.stats = stats
@@ -125,13 +131,32 @@ class Executor:
         """Key ranges: computed+recorded in eager mode, replayed compiled."""
         rec = self._rec(path)
         if self.compiled:
-            return rec[key]
+            r = rec[key]
+            if self.guard_ranges:
+                self._guard_range_cols(cols, num_rows, r)
+            return r
         r = key_ranges(cols, num_rows)
         if key in rec:  # widen across runs
             r = [(min(a[0], b[0]), max(a[1], b[1]))
                  for a, b in zip(r, rec[key])]
         rec[key] = r
         return r
+
+    def _guard_range_cols(self, cols, num_rows, ranges):
+        """Traced checks that live key values fall inside recorded ranges
+        (out-of-range keys would CLIP in pack_key_words and collide)."""
+        for c, (lo, hi) in zip(cols, ranges):
+            n = len(c)
+            live = jnp.arange(n) < num_rows
+            if c.validity is not None:
+                live = live & c.validity
+            d = c.data.astype(jnp.int64)
+            big = jnp.asarray(np.iinfo(np.int64).max, jnp.int64)
+            amin = jnp.min(jnp.where(live, d, big))
+            amax = jnp.max(jnp.where(live, d, -big))
+            any_live = jnp.any(live)
+            self.overflow_checks.append(
+                ~any_live | ((amin >= lo) & (amax <= hi)))
 
     # ---- dispatch
 
@@ -416,12 +441,19 @@ class Executor:
                 if span_product > child.num_rows:
                     break
             max_groups = round_capacity(min(child.num_rows, span_product))
-            max_groups = max(max_groups, rec.get("max_groups", 0))
-            rec["max_groups"] = max_groups
         out = group_aggregate(keys, aggs, child.num_rows, ranges, max_groups,
                               mask=mask, carry=carry,
                               checks=self.overflow_checks,
                               clustered=rec.get("clustered", False))
+        if self.compiled:
+            # compiled replays size every [max_groups] buffer by the
+            # DISCOVERED group count, far below the span bound for sparse
+            # keys (q18: 1.5M actual vs 6.3M span — every per-group
+            # gather/sort was 4x oversized); guard against growth
+            self._check_capacity(out.num_rows, max_groups)
+        else:
+            rec["max_groups"] = max(round_capacity(int(out.num_rows)),
+                                    rec.get("max_groups", 0))
         return self._shrink(out)
 
     def _dynamic_filter(self, rec: dict, lb: RecordBatch, rb: RecordBatch,
@@ -499,6 +531,10 @@ class Executor:
                                        and right.num_rows == 1) or \
                     int(right.num_rows) == 1
             if rec.get("scalar_build"):
+                rn = right.num_rows
+                if self.compiled and self.guard_ranges \
+                        and not isinstance(rn, int):
+                    self.overflow_checks.append(rn == 1)
                 right1 = RecordBatch(
                     {n: c.with_data(
                         c.data[:1],
@@ -538,6 +574,11 @@ class Executor:
 
         if self.compiled:
             ranges = rec["ranges"]
+            if self.guard_ranges:
+                self._guard_range_cols([lb[k] for k in lkeys], lb.num_rows,
+                                       ranges)
+                self._guard_range_cols([rb[k] for k in rkeys], rb.num_rows,
+                                       ranges)
         else:
             lr = key_ranges([lb[k] for k in lkeys], lb.num_rows)
             rr = key_ranges([rb[k] for k in rkeys], rb.num_rows)
@@ -1111,12 +1152,23 @@ class CompiledQuery:
     """
 
     def __init__(self, catalog, plan: LogicalNode,
-                 granularity: str = "fragment"):
+                 granularity: str = "fragment",
+                 stubs: Optional[Dict[Path, RecordBatch]] = None):
+        """``stubs`` makes this a compiled FRAGMENT: the given paths are
+        external inputs (remote-exchange sources on a worker) whose
+        batches are supplied per run via ``__call__(stubs=...)``.  Shapes
+        and dictionaries must match the discovery-time batches — the
+        worker's program cache keys on exactly that signature."""
         self.catalog = catalog
         self.plan = plan
+        self.external = dict(stubs or {})
 
         roots = sorted(set(_fragment_roots(plan)), key=len, reverse=True) \
             if granularity == "fragment" else [()]
+        # external stub paths act as extra fragment boundaries: they are
+        # never executed, their data arrives as runtime inputs
+        roots = [r for r in roots
+                 if not any(r[:len(p)] == p for p in self.external)]
         # discovery (capacity/range recording) runs on CPU when the default
         # backend is an accelerator: the recorded values are data-dependent,
         # not device-dependent, and CPU compiles are ~100x faster
@@ -1126,11 +1178,11 @@ class CompiledQuery:
         if jax.default_backend() != "cpu" and cpu_devs:
             disc_catalog = _CpuCatalogProxy(catalog, cpu_devs[0])
             with backend_override("cpu"), jax.default_device(cpu_devs[0]):
-                discoverer = Executor(disc_catalog)
+                discoverer = Executor(disc_catalog, stubs=self.external)
                 discoverer.capture_paths = set(roots)
                 discoverer.execute(plan)
         else:
-            discoverer = Executor(catalog)
+            discoverer = Executor(catalog, stubs=self.external)
             discoverer.capture_paths = set(roots)
             discoverer.execute(plan)
         self.record = discoverer.record
@@ -1147,17 +1199,23 @@ class CompiledQuery:
                 (n, c.type, c.dictionary, c.validity is not None)
                 for n, c in b.columns.items()
             ]
+        for p, b in self.external.items():
+            self._meta[p] = [
+                (n, c.type, c.dictionary, c.validity is not None)
+                for n, c in b.columns.items()
+            ]
 
-        # child fragments of each root = roots whose longest proper prefix
-        # root is this one
+        # child fragments of each root = roots (or external inputs) whose
+        # longest proper prefix root is this one
         def parent_root(r: Path):
             for plen in range(len(r) - 1, -1, -1):
-                if r[:plen] in self._meta and r[:plen] != r:
+                if r[:plen] in self._meta and r[:plen] != r \
+                        and r[:plen] not in self.external:
                     return r[:plen]
             return None
 
         children: Dict[Path, List[Path]] = {r: [] for r in roots}
-        for r in roots:
+        for r in list(roots) + list(self.external):
             p = parent_root(r)
             if p is not None:
                 children[p].append(r)
@@ -1182,7 +1240,8 @@ class CompiledQuery:
                             cols, frag_inputs[_k(cr, "", "n")])
                     ex = Executor(self.catalog, compiled=True,
                                   record=self.record,
-                                  scan_arrays=scan_arrays, stubs=stubs)
+                                  scan_arrays=scan_arrays, stubs=stubs,
+                                  guard_ranges=bool(self.external))
                     out = ex.execute(node, path=root)
                     data = {n: c.data for n, c in out.columns.items()}
                     validity = {n: c.validity
@@ -1198,8 +1257,23 @@ class CompiledQuery:
             self._stages.append(
                 (root, child_roots, jax.jit(make_fn(root, node, child_roots))))
 
-    def _run(self):
-        results: Dict[Path, tuple] = {}
+    def _external_tuples(self, stubs: Optional[Dict[Path, RecordBatch]]):
+        """Runtime stub batches -> (data, validity, n, ok) result tuples.
+        Shapes/dtypes must match the discovery batches (program inputs)."""
+        out: Dict[Path, tuple] = {}
+        for p in self.external:
+            b = (stubs or {}).get(p, self.external[p])
+            data = {n: c.data for n, c in b.columns.items()}
+            validity = {n: c.validity for n, c in b.columns.items()
+                        if c.validity is not None}
+            n = b.num_rows
+            if isinstance(n, int):
+                n = jnp.asarray(n, jnp.int64)  # avoid per-count retraces
+            out[p] = (data, validity, n, jnp.asarray(True))
+        return out
+
+    def _run(self, ext: Optional[Dict[Path, tuple]] = None):
+        results: Dict[Path, tuple] = dict(ext or {})
         oks = []
         for root, child_roots, jfn in self._stages:
             frag_inputs = {}
@@ -1221,8 +1295,10 @@ class CompiledQuery:
         data, validity, num_rows, _ = results[()]
         return data, validity, num_rows, oks
 
-    def __call__(self) -> RecordBatch:
-        data, validity, num_rows, oks = self._run()
+    def __call__(self, stubs: Optional[Dict[Path, RecordBatch]] = None
+                 ) -> RecordBatch:
+        data, validity, num_rows, oks = self._run(
+            self._external_tuples(stubs) if self.external else None)
         if not all(bool(o) for o in oks):
             raise ExecError(
                 "compiled-plan buffer overflow: data outgrew the "

@@ -138,7 +138,10 @@ def _group_structure(key_words, max_groups: int, payload=(),
     starts = jnp.where(live, bsel, n_real)
     ends = jnp.concatenate([starts[1:], jnp.full((1,), n, jnp.int64)])
     ends = jnp.where(live, jnp.minimum(ends, n_real), n_real)
-    repr_idx = jnp.take(order, jnp.clip(starts, 0, n - 1))
+    if clustered:  # order is the identity — no gather needed
+        repr_idx = jnp.clip(starts, 0, n - 1)
+    else:
+        repr_idx = jnp.take(order, jnp.clip(starts, 0, n - 1))
     return order, gid_sorted, num_groups, starts, ends, repr_idx, sorted_payload
 
 

@@ -247,6 +247,15 @@ class WorkerRuntime:
         self.tasks: Dict[str, WorkerTask] = {}
         self.started = time.time()
         self.draining = False
+        # fragment program cache (LocalExecutionPlanner analog): fragments
+        # compile into XLA programs keyed by (fragment fingerprint, shard,
+        # stub-shape signature).  Policy 'auto' compiles on SECOND use of a
+        # signature (hotspot JIT): one-shot queries stay on the cheap eager
+        # path, repeated fragments run the compiled one.
+        self.compile_policy = os.environ.get("P1_WORKER_COMPILE", "auto")
+        self._frag_cache: Dict[str, object] = {}
+        self._frag_seen: Dict[str, int] = {}
+        self._frag_lock = threading.Lock()
 
     def base_catalog(self):
         with self._catalog_lock:
@@ -289,20 +298,37 @@ class WorkerRuntime:
                 stubs[path] = batch
             from ..exec.stats import QueryStats
 
-            qstats = QueryStats()
             t0 = time.time()
-            out = Executor(catalog, stubs=stubs,
-                           stats=qstats).execute(plan)
-            n = out.num_rows if isinstance(out.num_rows, int) \
-                else int(out.num_rows)
-            qstats.wall_s = time.time() - t0
-            task.operator_stats = [
-                {"path": list(path), "name": op.name,
-                 "wallMs": round(op.wall_s * 1000, 3),
-                 "rows": int(op.output_rows),
-                 "invocations": op.invocations}
-                for path, op in sorted(qstats.operators.items())
-            ]
+            out = None
+            # stats-collecting queries (EXPLAIN ANALYZE / info= rollups)
+            # need full per-operator attribution, which only the eager
+            # executor produces — same trade as the reference's
+            # ExplainAnalyzeOperator overhead
+            if self.compile_policy != "off" \
+                    and not body.get("collect_stats"):
+                out = self._try_compiled(task, body, plan, catalog,
+                                         shard, stubs)
+            if out is not None:
+                n = out.num_rows if isinstance(out.num_rows, int) \
+                    else int(out.num_rows)
+                task.operator_stats = [
+                    {"path": [], "name": "CompiledFragment",
+                     "wallMs": round((time.time() - t0) * 1000, 3),
+                     "rows": n, "invocations": 1}]
+            else:
+                qstats = QueryStats()
+                out = Executor(catalog, stubs=stubs,
+                               stats=qstats).execute(plan)
+                n = out.num_rows if isinstance(out.num_rows, int) \
+                    else int(out.num_rows)
+                qstats.wall_s = time.time() - t0
+                task.operator_stats = [
+                    {"path": list(path), "name": op.name,
+                     "wallMs": round(op.wall_s * 1000, 3),
+                     "rows": int(op.output_rows),
+                     "invocations": op.invocations}
+                    for path, op in sorted(qstats.operators.items())
+                ]
 
             collect = body.get("collect_domains")
             if collect:
@@ -343,6 +369,79 @@ class WorkerRuntime:
             task.state = TaskState.FAILED
         finally:
             task.done.set()
+
+    def _frag_signature(self, body: dict, shard, stubs) -> str:
+        """Cache key: fragment fingerprint x shard x stub shape/dictionary
+        signature.  Dictionaries matter — the compiled program constant-
+        folds string comparisons against them."""
+        import hashlib
+
+        import numpy as np
+
+        h = hashlib.sha256()
+        h.update(json.dumps(body["fragment"], sort_keys=True).encode())
+        h.update(json.dumps(shard, sort_keys=True).encode())
+        for path in sorted(stubs):
+            b = stubs[path]
+            h.update(str(path).encode())
+            h.update(str(b.capacity()).encode())
+            for name, c in b.columns.items():
+                h.update(name.encode())
+                h.update(str(c.data.dtype).encode())
+                h.update(str(c.data.shape).encode())
+                h.update(b"v" if c.validity is not None else b"-")
+                h.update(b"n" if c.lengths is not None else b"-")
+                if c.dictionary is not None:
+                    h.update(np.asarray(c.dictionary, dtype="U")
+                             .tobytes())
+        return h.hexdigest()
+
+    def _try_compiled(self, task, body, plan, catalog, shard, stubs):
+        """Run the fragment via a cached compiled program, or return None
+        to fall back to the eager executor.
+
+        Policy 'auto' (reference parity with a twist): the reference
+        compiles every task's fragment to bytecode up front
+        (``sql/planner/LocalExecutionPlanner.java:390``); XLA compiles are
+        orders slower than bytecode gen, so we compile on the SECOND
+        sighting of a (fragment, shard, stub-shape) signature and reuse
+        the program for every execution after — repeated/analytic
+        workloads run the compiled path, one-shot queries stay eager."""
+        from ..exec.executor import CompiledQuery
+        from ..exec.metrics import REGISTRY
+
+        if any(c.is_nested for b in stubs.values()
+               for c in b.columns.values()):
+            return None  # nested stub columns: meta can't carry them yet
+        sig = self._frag_signature(body, shard, stubs)
+        with self._frag_lock:
+            seen = self._frag_seen.get(sig, 0)
+            self._frag_seen[sig] = seen + 1
+            cq = self._frag_cache.get(sig)
+        if cq is None and (self.compile_policy == "always" or seen >= 1):
+            try:
+                cq = CompiledQuery(catalog, plan, stubs=stubs)
+            except Exception:  # noqa: BLE001 — fall back to eager
+                traceback.print_exc()
+                with self._frag_lock:
+                    self._frag_cache[sig] = "failed"
+                return None
+            with self._frag_lock:
+                self._frag_cache[sig] = cq
+            REGISTRY.counter("worker.fragments_compiled").update()
+        if cq is None or cq == "failed":
+            return None
+        try:
+            out = cq(stubs=stubs)
+        except Exception:  # noqa: BLE001 — capacity overflow etc.
+            traceback.print_exc()
+            # drop the program: the next sighting re-discovers with the
+            # current (larger) stub data and records bigger capacities
+            with self._frag_lock:
+                self._frag_cache.pop(sig, None)
+            return None
+        REGISTRY.counter("worker.compiled_task_runs").update()
+        return out
 
     def abort(self, task_id: str) -> bool:
         task = self.tasks.get(task_id)
@@ -403,6 +502,13 @@ class WorkerServer:
                 parts = self.path.strip("/").split("/")
                 if parts == ["v1", "status"]:
                     self._send_json(200, runtime.status())
+                    return
+                if parts == ["v1", "metrics"]:
+                    # worker metrics snapshot (the per-node JMX surface:
+                    # trino-jmx exposes MBeans per worker the same way)
+                    from ..exec.metrics import REGISTRY
+
+                    self._send_json(200, {"metrics": REGISTRY.snapshot()})
                     return
                 if parts[:2] == ["v1", "task"] and len(parts) == 3:
                     task = runtime.tasks.get(parts[2])

@@ -419,3 +419,36 @@ def test_array_column_through_partitioned_exchange(runner, local_engine):
     actual = runner.engine.sql(sql).to_pandas()
     expected = local_engine.sql_pandas(sql)
     assert_frames_match(actual, expected, ordered=True)
+
+
+def _worker_metric(runner, name):
+    import json as _json
+    from urllib import request as _rq
+
+    total = 0.0
+    for node in runner.registry.active_nodes():
+        with _rq.urlopen(f"{node.uri}/v1/metrics", timeout=10) as resp:
+            snap = _json.loads(resp.read().decode())
+        for m in snap["metrics"]:
+            if m["name"] == name:
+                total += m["total"]
+    return total
+
+
+def test_worker_compiled_fragments(runner, local_engine):
+    """VERDICT r3 #1: workers execute repeated fragments via cached
+    compiled programs (LocalExecutionPlanner analog).  Policy 'auto'
+    compiles on the second sighting of a (fragment, shard, stub-shape)
+    signature; results must stay row-identical and the per-worker
+    compiled-run counter (/v1/metrics, the JMX surface) must rise."""
+    sql = ("select l_returnflag, count(*) c, sum(l_quantity) s "
+           "from lineitem, orders where l_orderkey = o_orderkey "
+           "and o_orderdate >= date '1995-01-01' "
+           "group by l_returnflag order by l_returnflag")
+    expected = local_engine.sql_pandas(sql)
+    before = _worker_metric(runner, "worker.compiled_task_runs")
+    for _ in range(3):
+        actual = runner.engine.sql(sql).to_pandas()
+        assert_frames_match(actual, expected, ordered=True)
+    after = _worker_metric(runner, "worker.compiled_task_runs")
+    assert after > before, (before, after)

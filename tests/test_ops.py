@@ -317,3 +317,57 @@ def test_dynamic_filter_engages_and_matches():
     out = engine.sql_pandas(
         "select count(*) as c from fact where fk not in (select k from dim)")
     assert int(out["c"][0]) == int((~m).sum())
+
+
+def test_wide_compact_pair_packed_sort_matches():
+    """TPU wide-compaction path: pair-packed variadic sort must agree with
+    the CPU nonzero path on every dtype class (8-byte, 4-byte, small,
+    validity-carrying, f64)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from presto1_tpu.batch import Column, RecordBatch
+    from presto1_tpu.ops.common import backend_override
+    from presto1_tpu.ops.filter import compact
+    from presto1_tpu.types import (BIGINT, BOOLEAN, DATE, DOUBLE, INTEGER,
+                                   VARCHAR, DecimalType)
+
+    rng = np.random.RandomState(7)
+    n = 70000  # > 65536 so the wide gate fires
+    cols = {}
+    cols["a"] = Column(jnp.asarray(rng.randint(0, 1 << 40, n)), BIGINT)
+    cols["b"] = Column(jnp.asarray(rng.randn(n)), DOUBLE)
+    cols["c"] = Column(jnp.asarray(rng.randint(0, 1 << 20, n)
+                                   .astype(np.int32)), INTEGER)
+    cols["d"] = Column(jnp.asarray(rng.randint(0, 9000, n)
+                                   .astype(np.int32)), DATE)
+    cols["e"] = Column(jnp.asarray(rng.randint(0, 3, n).astype(np.int32)),
+                       VARCHAR, dictionary=np.array(["x", "y", "z"]))
+    cols["f"] = Column(jnp.asarray(rng.randint(0, 2, n).astype(bool)),
+                       BOOLEAN)
+    cols["g"] = Column(jnp.asarray(rng.randint(-5000, 5000, n)), 
+                       DecimalType(12, 2),
+                       validity=jnp.asarray(rng.randint(0, 2, n)
+                                            .astype(bool)))
+    cols["h"] = Column(jnp.asarray(rng.randint(0, 100, n)), BIGINT,
+                       validity=jnp.asarray(rng.randint(0, 2, n)
+                                            .astype(bool)))
+    cols["i"] = Column(jnp.asarray(rng.randn(n)), DOUBLE,
+                       validity=jnp.asarray(rng.randint(0, 2, n)
+                                            .astype(bool)))
+    batch = RecordBatch(cols, n - 17)
+    mask = jnp.asarray(rng.randint(0, 2, n).astype(bool))
+    mask = mask & (jnp.arange(n) < batch.num_rows)
+
+    expected = compact(batch, mask)          # CPU nonzero path
+    with backend_override("tpu"):            # pair-packed sort path
+        got = compact(batch, mask)
+    assert int(got.num_rows) == int(expected.num_rows)
+    m = int(expected.num_rows)
+    for name in cols:
+        ev, gv = expected[name], got[name]
+        assert np.array_equal(np.asarray(ev.data[:m]),
+                              np.asarray(gv.data[:m])), name
+        if ev.validity is not None:
+            assert np.array_equal(np.asarray(ev.validity[:m]),
+                                  np.asarray(gv.validity[:m])), name
