@@ -205,6 +205,10 @@ class Executor:
             return O.chain_from_table(self._scan_table(node), node.symbols)
         if isinstance(node, (Filter, Limit)):
             return ch(0)  # stable compaction / prefix keep
+        from ..sql.logical import MarkDistinct
+
+        if isinstance(node, MarkDistinct):
+            return ch(0)  # markers route back to input order
         if isinstance(node, Unnest):
             return O.restrict_chain(ch(0), node.schema)
         if isinstance(node, Project):
@@ -368,6 +372,41 @@ class Executor:
         if not self.compiled:
             rec["capacity"] = max(out.capacity(), rec.get("capacity", 0))
         return out
+
+    def _x_MarkDistinct(self, node, path: Path) -> RecordBatch:
+        """First-occurrence markers per (group keys, marker keys) combo
+        (reference ``operator/MarkDistinctOperator.java``), scatter-free:
+        pack the combo into int64 words, sort (words, row index), flag
+        word boundaries, and route the flags back through the inverse
+        permutation with a second sort keyed on the row index.  Dead rows
+        pack to the INT64_MAX sentinel, so they sort past every live row
+        and can never steal a first-occurrence from one."""
+        from ..ops.common import iota, pack_key_words
+
+        child = self.execute(node.child, path + (0,))
+        n = child.capacity()
+        cols = dict(child.columns)
+        gcols = [child[s] for s in node.group]
+        for mi, (msym, keys) in enumerate(node.markers):
+            kcols = gcols + [
+                eval_expr(self._bind(e, child), child) for e in keys]
+            ranges = self._ranges(path, f"ranges{mi}", kcols,
+                                  child.num_rows)
+            words = pack_key_words(kcols, ranges, child.num_rows)
+            srt = jax.lax.sort(
+                tuple(words) + (iota(n).astype(jnp.int32),),
+                num_keys=len(words))
+            perm = srt[len(words)]
+            first = None
+            for w in srt[:len(words)]:
+                d = w != jnp.roll(w, 1)
+                first = d if first is None else (first | d)
+            first = jnp.where(iota(n) == 0, True, first)
+            back = jax.lax.sort((perm, first.astype(jnp.int8)), num_keys=1)
+            from ..types import BOOLEAN
+
+            cols[msym] = Column(back[1].astype(bool), BOOLEAN)
+        return RecordBatch(cols, child.num_rows)
 
     def _x_Project(self, node: Project, path: Path) -> RecordBatch:
         child = self.execute(node.child, path + (0,))

@@ -193,6 +193,8 @@ class StageDagBuilder:
             return self._join(node)
         if isinstance(node, L.Aggregate):
             return self._aggregate(node)
+        if isinstance(node, L.MarkDistinct):
+            return self._mark_distinct(node)
         if isinstance(node, L.Sort):
             return self._sort(node)
         if isinstance(node, L.Union):
@@ -340,6 +342,28 @@ class StageDagBuilder:
             local_plan = project.with_children([local_plan])
             path = (0, 0)
         return _Local(local_plan, {path: sid})
+
+    # ----------------------------------------------------- mark distinct
+
+    def _mark_distinct(self, node: L.MarkDistinct):
+        """Markers are a GLOBAL first-occurrence property per (group,
+        value) combo, so every row of a combo must land on one task:
+        repartitioning on the group keys suffices (the aggregate above
+        groups on exactly those keys, so it then runs in-stage too —
+        the reference schedules MarkDistinctNode the same way, inside
+        the FIXED_HASH aggregation fragment)."""
+        r = self._build(node.child)
+        if isinstance(r, _Local):
+            return r.wrap(node)
+        if r.dist == "hash" and node.group and r.co_grouped(node.group):
+            return r.append(node)
+        if node.group:
+            sid = self._close(r, partition_keys=list(node.group))
+            return _Open(node.with_children([self.stages[sid].plan]),
+                         "hash", hash_keys_alts=[list(node.group)],
+                         sources=[RemoteSource((0,), sid, "partition")])
+        # global distinct: every row is one combo space — single consumer
+        return self._to_local(r).wrap(node)
 
     # -------------------------------------------------------------- sort
 

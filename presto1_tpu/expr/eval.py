@@ -221,6 +221,15 @@ def _eval_call(expr: Call, batch: RecordBatch):
             return jnp.zeros((n,), dtype=jnp.bool_), None, None
         return ~va, None, None
 
+    if fn == "__mask":
+        # __mask(value, cond): value with validity &= cond — the aggregate
+        # mask carrier for MarkDistinct rewrites (NULL rows don't count)
+        data, va, d = _eval(expr.args[0], batch)
+        cond, vc, _ = _eval(expr.args[1], batch)
+        keep = cond if vc is None else (cond & vc)
+        validity = keep if va is None else (va & keep)
+        return _norm(data, validity), validity, d
+
     if fn == "coalesce":
         data, validity, d = _eval(expr.args[0], batch)
         for a in expr.args[1:]:

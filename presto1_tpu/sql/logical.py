@@ -312,6 +312,40 @@ def _short(e) -> str:
 
 
 @dataclass
+class MarkDistinct(LogicalNode):
+    """Mark the first occurrence of each (group keys, marker keys) combo
+    with a boolean column (reference: ``sql/planner/plan/MarkDistinctNode``,
+    ``operator/MarkDistinctOperator.java``).  Multiple distinct aggregates
+    rewrite to one MarkDistinct per distinct argument set; each distinct
+    aggregate then consumes rows where its marker is true
+    (``iterative/rule/MultipleDistinctAggregationToMarkDistinct.java``).
+
+    Output order equals input order (markers are computed in sorted key
+    space and routed back through the inverse permutation), so ordering
+    chains and partitioning properties pass straight through."""
+
+    child: LogicalNode
+    group: List[str]                         # aggregation group symbols
+    markers: List[Tuple[str, List[Expr]]]    # (marker symbol, key exprs)
+
+    @property
+    def schema(self):
+        from ..types import BOOLEAN
+
+        out = dict(self.child.schema)
+        for msym, _ in self.markers:
+            out[msym] = BOOLEAN
+        return out
+
+    @property
+    def children(self):
+        return [self.child]
+
+    def with_children(self, children):
+        return MarkDistinct(children[0], self.group, self.markers)
+
+
+@dataclass
 class Unnest(LogicalNode):
     """Expand an array-typed expression: each input row emits one output
     row per element (reference: ``operator/unnest/``, UnnestNode).  Map

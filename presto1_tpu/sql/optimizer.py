@@ -507,8 +507,17 @@ def _rewrite_approx_distinct(node: LogicalNode) -> LogicalNode:
     plain = [a for a in node.aggs
              if a.fn != "approx_distinct" and not a.distinct]
     if len(approx) > 1 or any(a.distinct for a in node.aggs):
-        raise NotImplementedError(
-            "approx_distinct mixed with distinct aggregates or repeated")
+        # several sketches (or mixed with exact distinct aggregates): the
+        # register columns of independent HLLs can't share one inner
+        # grouping — fall back to EXACT counts through the MarkDistinct
+        # path (an exact answer satisfies the approximation contract;
+        # the reference's OptimizeMixedDistinctAggregations does the same
+        # collapse for the mixed case)
+        from ..types import BIGINT
+
+        aggs = [AggCall(a.symbol, "count", a.arg, True, BIGINT)
+                if a.fn == "approx_distinct" else a for a in node.aggs]
+        return Aggregate(node.child, node.group, aggs, node.primary)
     a = approx[0]
     from ..expr.eval import HLL_M
     from ..types import BIGINT, DOUBLE, BOOLEAN
@@ -635,11 +644,13 @@ def _rewrite_distinct(node: LogicalNode) -> LogicalNode:
         return node
     dist = [a for a in node.aggs if a.distinct]
     plain = [a for a in node.aggs if not a.distinct]
-    if len(dist) > 1:
-        raise NotImplementedError("multiple distinct aggregates")
+    if len(dist) > 1 or any(a.fn != "count" for a in dist):
+        # multiple distinct aggregates (or sum/avg/... DISTINCT): the
+        # MarkDistinct rewrite — one first-occurrence marker per distinct
+        # argument set, each distinct aggregate consumes only marked rows
+        # (``iterative/rule/MultipleDistinctAggregationToMarkDistinct``)
+        return _rewrite_markdistinct(node)
     a = dist[0]
-    if a.fn != "count":
-        raise NotImplementedError(f"{a.fn}(distinct)")
     child = node.child
     extra: List[Tuple[str, ir.Expr]] = []
     if isinstance(a.arg, ir.ColumnRef):
@@ -705,6 +716,41 @@ def _rewrite_distinct(node: LogicalNode) -> LogicalNode:
     outs.append((a.symbol, ir.ColumnRef(a.symbol, a.type)))
     outs.extend(post)
     return Project(outer, outs)
+
+
+def _rewrite_markdistinct(node: Aggregate) -> LogicalNode:
+    """N distinct aggregates → MarkDistinct(child) + masked plain aggs.
+
+    Each distinct argument set gets a boolean first-occurrence marker per
+    group; ``fn(DISTINCT x)`` becomes ``fn(__mask(x, marker))`` — the mask
+    nullifies duplicates, and every aggregate skips NULL inputs, so all
+    aggregates (distinct and plain, any mix) run in ONE grouping pass.
+    NULL-group safe: markers are computed per (group, value) combo with
+    NULL as an ordinary key code.  Reference:
+    ``operator/MarkDistinctOperator.java``,
+    ``MultipleDistinctAggregationToMarkDistinct.java``."""
+    from ..types import BOOLEAN
+    from .logical import MarkDistinct
+
+    markers: Dict[str, str] = {}  # arg fingerprint -> marker symbol
+    marker_defs: List[Tuple[str, List[ir.Expr]]] = []
+    new_aggs: List[AggCall] = []
+    for a in node.aggs:
+        if not a.distinct:
+            new_aggs.append(a)
+            continue
+        key = repr(a.arg)
+        if key not in markers:
+            msym = f"__mark{len(markers)}"
+            markers[key] = msym
+            marker_defs.append((msym, [a.arg]))
+        masked = ir.call("__mask", a.arg,
+                         ir.ColumnRef(markers[key], BOOLEAN),
+                         type=a.arg.type)
+        new_aggs.append(AggCall(a.symbol, a.fn, masked, False, a.type,
+                                param=a.param))
+    md = MarkDistinct(node.child, list(node.group), marker_defs)
+    return Aggregate(md, node.group, new_aggs, node.primary)
 
 
 # ---------------------------------------------------------------- pruning
@@ -779,4 +825,14 @@ def _prune(node: LogicalNode, needed: Set[str]) -> LogicalNode:
                           node.partition_by, node.order_by, node.calls)
     if isinstance(node, Limit):
         return Limit(_prune(node.child, needed), node.n, node.offset)
+    from .logical import MarkDistinct
+
+    if isinstance(node, MarkDistinct):
+        child_needed = (needed - {m for m, _ in node.markers}) \
+            | set(node.group)
+        for _, keys in node.markers:
+            for e in keys:
+                child_needed |= _refs(e)
+        return MarkDistinct(_prune(node.child, child_needed), node.group,
+                            node.markers)
     return node.with_children([_prune(c, needed) for c in node.children])

@@ -147,6 +147,11 @@ def plan_to_json(n: L.LogicalNode) -> Dict[str, Any]:
         return {"k": "unnest", "child": plan_to_json(n.child),
                 "array": expr_to_json(n.array), "symbol": n.symbol,
                 "value_symbol": n.value_symbol}
+    if isinstance(n, L.MarkDistinct):
+        return {"k": "mark_distinct", "child": plan_to_json(n.child),
+                "group": list(n.group),
+                "markers": [[m, [expr_to_json(e) for e in keys]]
+                            for m, keys in n.markers]}
     if isinstance(n, L.Sort):
         return {"k": "sort", "child": plan_to_json(n.child),
                 "keys": [[expr_to_json(e), asc, nf] for e, asc, nf in n.keys],
@@ -211,6 +216,11 @@ def plan_from_json(d: Dict[str, Any]) -> L.LogicalNode:
         return L.Unnest(plan_from_json(d["child"]),
                         expr_from_json(d["array"]), d["symbol"],
                         d.get("value_symbol"))
+    if k == "mark_distinct":
+        return L.MarkDistinct(
+            plan_from_json(d["child"]), list(d["group"]),
+            [(m, [expr_from_json(e) for e in keys])
+             for m, keys in d["markers"]])
     if k == "sort":
         return L.Sort(plan_from_json(d["child"]),
                       [(expr_from_json(e), asc, nf)

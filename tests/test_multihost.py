@@ -331,6 +331,22 @@ def test_distinct_agg_distributes_by_group(runner, local_engine):
     assert info["exchange_tasks"] >= 4, info  # grouped stage ran on workers
 
 
+def test_multiple_distinct_aggregates_multihost(runner, local_engine):
+    """Multiple count(distinct) per SELECT: the MarkDistinct rewrite runs
+    inside the FIXED_HASH stage after a group-key repartition — every
+    (group, value) combo is co-located, so first-occurrence markers are
+    globally correct (MultipleDistinctAggregationToMarkDistinct +
+    MarkDistinctOperator analog, distributed)."""
+    sql = ("select l_returnflag, count(distinct l_suppkey) s, "
+           "count(distinct l_partkey) p, sum(l_quantity) q "
+           "from lineitem group by l_returnflag order by l_returnflag")
+    info = {}
+    actual = runner.engine.sql(sql, info=info).to_pandas()
+    expected = local_engine.sql_pandas(sql)
+    assert_frames_match(actual, expected, ordered=True)
+    assert info["exchange_tasks"] >= 4, info  # MarkDistinct stage on workers
+
+
 def test_approx_distinct_merges_across_hosts(runner, local_engine):
     """HLL registers merge by max through the partial/final DCN split, so
     the multihost estimate is IDENTICAL to the single-host one (same
