@@ -343,7 +343,10 @@ class MultiHostEngine:
                    # (distributed sort/TopN: per-task sort + truncation,
                    # coordinator merge — MergeOperator analog)
                    "sorted_stages": sum(
-                       1 for st in stages if st.sorted_by is not None)}
+                       1 for st in stages if st.sorted_by is not None),
+                   # how many of those the coordinator consumed with the
+                   # k-way merge (vs re-sorting) — exec/merge.py
+                   "merged_stages": 0}
         stage_clients: Dict[int, List[RemoteTaskClient]] = {}
 
         def task_sources(st, p: int) -> Optional[dict]:
@@ -412,13 +415,32 @@ class MultiHostEngine:
 
         def pull(path, sid):
             try:
-                batches = []
                 nbytes = 0
+                task_batches = []  # per task: its pages, in order
                 for c in stage_clients[sid]:
+                    pages = []
                     for page in c.fetch_pages():
                         nbytes += len(page)
-                        batches.append(deserialize_batch(page))
-                merged = concat_batches(batches)
+                        pages.append(deserialize_batch(page))
+                    if pages:
+                        task_batches.append(pages)
+                if stages[sid].sorted_by is not None and task_batches:
+                    # distributed sort consumer: each task's pages are
+                    # consecutive slices of ITS sorted output — concat per
+                    # task, then k-way merge across tasks (exec/merge.py;
+                    # MergeOperator analog), never a coordinator re-sort
+                    from .merge import merge_sorted_batches
+
+                    runs = [concat_batches(pages, device=False)
+                            for pages in task_batches]
+                    merged = merge_sorted_batches(
+                        runs, stages[sid].sorted_by)
+                    with lock:
+                        metrics["merged_stages"] = \
+                            metrics.get("merged_stages", 0) + 1
+                else:
+                    merged = concat_batches(
+                        [b for pages in task_batches for b in pages])
                 if merged is None:
                     from ..batch import Column, RecordBatch
                     import jax.numpy as jnp
@@ -476,6 +498,9 @@ class MultiHostEngine:
                     "operators": [merged[k] for k in sorted(merged)],
                 })
             metrics["stage_stats"] = stage_stats
+            from ..sql.logical import plan_tree
+
+            metrics["coordinator_plan"] = plan_tree(coord_plan)
             info.update(metrics)
         return Executor(self.catalog, stubs=stubs).execute(coord_plan)
 
@@ -490,7 +515,12 @@ class MultiHostEngine:
         lines = [f"Stages: {info.get('stages', 0)}  "
                  f"coordinator_bytes={info.get('coordinator_bytes', 0)}  "
                  f"exchange_bytes_in={info.get('exchange_bytes_in', 0)}  "
-                 f"dynamic_filter={'on' if info.get('df_applied') else 'off'}"]
+                 f"dynamic_filter={'on' if info.get('df_applied') else 'off'}  "
+                 f"merged_sorted_stages={info.get('merged_stages', 0)}"]
+        if info.get("coordinator_plan"):
+            lines.append("Coordinator plan:")
+            lines.extend("  " + ln
+                         for ln in info["coordinator_plan"].split("\n"))
         for ss in info.get("stage_stats", []):
             part = (f" FIXED_HASH{ss['partitionKeys']}"
                     if ss["partitionKeys"] else "")

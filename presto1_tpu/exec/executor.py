@@ -973,6 +973,16 @@ class Executor:
             out = _skip_rows(out, node.offset)
         return self._shrink(out)
 
+    def _x_MergeSorted(self, node, path: Path) -> RecordBatch:
+        """Input already globally ordered (the exchange merged per-task
+        sorted runs — exec/merge.py); only offset/limit apply here."""
+        child = self.execute(node.child, path + (0,))
+        if node.offset:
+            child = _skip_rows(child, node.offset)
+        if node.limit is not None:
+            child = limit_batch(child, node.limit)
+        return self._shrink(child)
+
     def _x_WindowNode(self, node: WindowNode, path: Path) -> RecordBatch:
         from ..ops.sort import SortKey
         from ..ops.window import WindowCall as WCall, window

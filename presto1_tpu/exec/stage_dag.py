@@ -370,8 +370,10 @@ class StageDagBuilder:
     def _sort(self, node: L.Sort):
         """Distributed sort/TopN (``operator/MergeOperator.java:44``,
         ``docs/.../dist-sort.rst:1-17``): every task sorts (and truncates,
-        for TopN) its partition locally; the stage is marked ``sorted_by``
-        so the consumer runs a cheap N-way merge instead of re-sorting."""
+        for TopN) its partition locally; the stage is marked ``sorted_by``,
+        the coordinator's page pull runs a k-way merge of the per-task
+        sorted runs (``exec/merge.py``), and the coordinator plan keeps
+        only a MergeSorted node applying offset/limit — never a re-sort."""
         r = self._build(node.children[0])
         if isinstance(r, _Local):
             return r.wrap(node)
@@ -384,7 +386,8 @@ class StageDagBuilder:
         else:
             r.append(L.Sort(r.plan, node.keys))
         lc = self._to_local(r, sorted_by=node.keys)
-        return lc.wrap(node)
+        return lc.wrap(L.MergeSorted(node.child, node.keys, node.limit,
+                                     node.offset))
 
     # ------------------------------------------------------------- union
 

@@ -234,6 +234,32 @@ class Sort(LogicalNode):
 
 
 @dataclass
+class MergeSorted(LogicalNode):
+    """Consume an input that is ALREADY globally ordered by ``keys`` (the
+    coordinator side of a distributed sort: per-task sorted outputs were
+    k-way merged at the exchange — ``exec/merge.py``); applies only the
+    offset/limit.  The plan-level witness that a distributed ORDER BY
+    merges instead of re-sorting (reference:
+    ``operator/MergeOperator.java:44``, ``docs/.../admin/dist-sort.rst``)."""
+
+    child: LogicalNode
+    keys: List[Tuple[Expr, bool, Optional[bool]]]
+    limit: Optional[int] = None
+    offset: int = 0
+
+    @property
+    def schema(self):
+        return self.child.schema
+
+    @property
+    def children(self):
+        return [self.child]
+
+    def with_children(self, children):
+        return MergeSorted(children[0], self.keys, self.limit, self.offset)
+
+
+@dataclass
 class Limit(LogicalNode):
     child: LogicalNode
     n: Optional[int]
@@ -287,6 +313,9 @@ def plan_tree(node: LogicalNode, indent: int = 0) -> str:
         detail = f" {[s for s, _ in node.outputs]}"
     elif isinstance(node, Sort):
         detail = f" keys={[(_short(e), a) for e, a, _ in node.keys]} limit={node.limit}"
+    elif isinstance(node, MergeSorted):
+        detail = (f" keys={[(_short(e), a) for e, a, _ in node.keys]}"
+                  f" limit={node.limit} (k-way merge of sorted tasks)")
     elif isinstance(node, Output):
         detail = f" {[n for n, _ in node.names]}"
     elif isinstance(node, Limit):

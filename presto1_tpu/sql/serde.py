@@ -156,6 +156,10 @@ def plan_to_json(n: L.LogicalNode) -> Dict[str, Any]:
         return {"k": "sort", "child": plan_to_json(n.child),
                 "keys": [[expr_to_json(e), asc, nf] for e, asc, nf in n.keys],
                 "limit": n.limit, "offset": n.offset}
+    if isinstance(n, L.MergeSorted):
+        return {"k": "merge_sorted", "child": plan_to_json(n.child),
+                "keys": [[expr_to_json(e), asc, nf] for e, asc, nf in n.keys],
+                "limit": n.limit, "offset": n.offset}
     if isinstance(n, L.Limit):
         return {"k": "limit", "child": plan_to_json(n.child), "n": n.n,
                 "offset": n.offset}
@@ -226,6 +230,11 @@ def plan_from_json(d: Dict[str, Any]) -> L.LogicalNode:
                       [(expr_from_json(e), asc, nf)
                        for e, asc, nf in d["keys"]], d["limit"],
                       d.get("offset", 0))
+    if k == "merge_sorted":
+        return L.MergeSorted(plan_from_json(d["child"]),
+                             [(expr_from_json(e), asc, nf)
+                              for e, asc, nf in d["keys"]], d["limit"],
+                             d.get("offset", 0))
     if k == "limit":
         return L.Limit(plan_from_json(d["child"]), d["n"],
                        d.get("offset", 0))

@@ -318,6 +318,84 @@ def test_distributed_topn(runner, local_engine):
     assert info["sorted_stages"] >= 1, info  # the dist-sort stage reported
 
 
+def test_distributed_order_by_merges(runner, local_engine):
+    """Plain ORDER BY at scale: per-task sorts are CONSUMED by the
+    coordinator's k-way merge (exec/merge.py, MergeOperator analog) —
+    the coordinator plan holds a MergeSorted node, never a re-sort, and
+    rows come back in exactly the local engine's order."""
+    sql = ("select l_orderkey, l_extendedprice, l_shipdate from lineitem "
+           "where l_quantity < 10 "
+           "order by l_extendedprice desc, l_orderkey")
+    info = {}
+    actual = runner.engine.sql(sql, info=info).to_pandas()
+    expected = local_engine.sql_pandas(sql)
+    assert_frames_match(actual, expected, ordered=True)
+    assert info["merged_stages"] >= 1, info
+    # coordinator executes MergeSorted over the merged stub — the Sort
+    # below it is the stage's (stubbed, never re-executed on the
+    # coordinator); plan_tree renders the whole tree
+    lines = info["coordinator_plan"].split("\n")
+    assert lines[1].strip().startswith("MergeSorted"), \
+        info["coordinator_plan"]
+
+
+def test_merge_sorted_batches_unit():
+    """k-way merge over engineered runs: multi-key, DESC, NULLs, strings
+    (union-dictionary recode keeps code order comparable)."""
+    import jax.numpy as jnp
+
+    from presto1_tpu.batch import Column, RecordBatch
+    from presto1_tpu.exec.merge import merge_sorted_batches
+    from presto1_tpu.expr import ir
+    from presto1_tpu.types import BIGINT, DOUBLE, VARCHAR
+
+    rng = np.random.default_rng(3)
+    # nulls_first=False on the DESC key matches pandas na_position="last"
+    # (the engine default for DESC is nulls first, Trino semantics)
+    keys = [(ir.ColumnRef("a", DOUBLE), False, False),
+            (ir.ColumnRef("s", VARCHAR), True, None),
+            (ir.ColumnRef("b", BIGINT), True, None)]
+    words = np.array(["ape", "bee", "cat", "dog", "eel"])
+    rows = []
+    for _ in range(5):  # 5 sorted runs of random sizes
+        n = int(rng.integers(1, 200))
+        a = np.round(rng.normal(size=n), 1)
+        # pandas ties -0.0 == 0.0 but the engine's float total order
+        # (XLA lax.sort) has -0.0 < 0.0 — normalize so both agree
+        a = np.where(a == 0, 0.0, a)
+        av = rng.random(n) > 0.1
+        s = rng.integers(0, 5, n)
+        b = rng.integers(-10, 10, n).astype(np.int64)
+        rows.append((a, av, s, b))
+    import pandas as pd
+
+    frames = []
+    runs = []
+    for a, av, s, b in rows:
+        df = pd.DataFrame({"a": np.where(av, a, np.nan),
+                           "s": words[s], "b": b})
+        df = df.sort_values(["a", "s", "b"],
+                            ascending=[False, True, True],
+                            na_position="last", kind="stable")
+        frames.append(df)
+        # each run batch individually sorted, with its OWN dictionary
+        d, codes = np.unique(words[s.take(df.index)], return_inverse=True)
+        runs.append(RecordBatch(
+            {"a": Column(np.asarray(df.a.fillna(0.0)), DOUBLE,
+                         validity=~df.a.isna().values),
+             "s": Column(codes.astype(np.int32), VARCHAR, dictionary=d),
+             "b": Column(df.b.values, BIGINT)}, len(df)))
+    out = merge_sorted_batches(runs, keys, device=True).to_pandas()
+    exp = pd.concat(frames).sort_values(
+        ["a", "s", "b"], ascending=[False, True, True],
+        na_position="last", kind="stable").reset_index(drop=True)
+    assert list(out.s) == list(exp.s)
+    assert list(out.b) == list(exp.b)
+    a_out = out.a.astype(float)
+    both_nan = a_out.isna().values & exp.a.isna().values
+    assert np.all(both_nan | np.isclose(a_out.fillna(0), exp.a.fillna(0)))
+
+
 def test_distinct_agg_distributes_by_group(runner, local_engine):
     """count(distinct) with group keys: repartition on the group keys
     co-locates each group wholly, so the distinct aggregate is exact on
