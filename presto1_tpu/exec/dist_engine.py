@@ -322,6 +322,7 @@ class MultiHostEngine:
     def sql(self, sql: str, info: Optional[dict] = None):
         from .stage_dag import build_stage_dag
 
+        t_query = time.time()
         plan = self.plan(sql)
         coord_plan, coord_sources, stages = build_stage_dag(
             plan, self.catalog,
@@ -473,6 +474,8 @@ class MultiHostEngine:
             stage_stats: List[dict] = []
             for sid, st in enumerate(stages):
                 merged: Dict[tuple, dict] = {}
+                stage_wall = 0.0
+                stage_fetch = 0.0
                 for c in stage_clients[sid]:
                     try:
                         tinfo = c.status()
@@ -481,6 +484,13 @@ class MultiHostEngine:
                     if st.sources:
                         metrics["exchange_bytes_in"] += int(
                             tinfo.get("bytesIn") or 0)
+                    # stage wall = slowest task, INCLUDING its exchange
+                    # wait: that wait overlaps upstream execution, so
+                    # query wall < sum of stage walls proves pipelining
+                    stage_wall = max(stage_wall,
+                                     float(tinfo.get("wallMs") or 0.0))
+                    stage_fetch = max(stage_fetch,
+                                      float(tinfo.get("fetchMs") or 0.0))
                     for op in tinfo.get("operatorStats") or []:
                         key = tuple(op["path"])
                         m = merged.setdefault(
@@ -495,12 +505,15 @@ class MultiHostEngine:
                     "table": st.table,
                     "partitionKeys": st.partition_keys,
                     "tasks": len(stage_clients[sid]),
+                    "wallMs": stage_wall,
+                    "fetchMs": stage_fetch,
                     "operators": [merged[k] for k in sorted(merged)],
                 })
             metrics["stage_stats"] = stage_stats
             from ..sql.logical import plan_tree
 
             metrics["coordinator_plan"] = plan_tree(coord_plan)
+            metrics["wall_ms"] = round((time.time() - t_query) * 1000, 3)
             info.update(metrics)
         return Executor(self.catalog, stubs=stubs).execute(coord_plan)
 
@@ -526,7 +539,10 @@ class MultiHostEngine:
                     if ss["partitionKeys"] else "")
             src = f" source={ss['table']}" if ss["table"] else ""
             lines.append(f"Stage {ss['stage']} [{ss['distribution']}]"
-                         f"{src}{part}  tasks={ss['tasks']}")
+                         f"{src}{part}  tasks={ss['tasks']}  "
+                         f"wall={ss.get('wallMs', 0):.0f}ms "
+                         f"(exchange wait {ss.get('fetchMs', 0):.0f}ms, "
+                         f"overlapped)")
             for op in ss["operators"]:
                 depth = len(op["path"])
                 lines.append(f"  {'  ' * depth}{op['name']}   "

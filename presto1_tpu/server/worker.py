@@ -72,6 +72,10 @@ class WorkerTask:
         self.created = time.time()
         self.heartbeat = time.time()
         self.done = threading.Event()
+        # wall breakdown: exchange wait (incl. upstream execution it
+        # overlaps) vs total — overlap evidence in stage_stats
+        self.fetch_ms = 0.0
+        self.wall_ms = 0.0
 
     @property
     def pages(self) -> list:  # legacy single-buffer view
@@ -83,7 +87,8 @@ class WorkerTask:
                 "buffers": len(self.buffers),
                 "bytesIn": self.bytes_in, "bytesOut": self.bytes_out,
                 "domains": self.domains,
-                "operatorStats": self.operator_stats}
+                "operatorStats": self.operator_stats,
+                "fetchMs": self.fetch_ms, "wallMs": self.wall_ms}
 
 
 def _paginate(out, lo0: int, n: int) -> list:
@@ -190,40 +195,109 @@ def _partition_output(out, n: int, keys, count: int) -> list:
     return buffers
 
 
-def _fetch_sources(locations) -> tuple:
-    """Pull and merge all upstream pages for one stub (ExchangeClient):
-    token-acked long-poll loop per location, then one concat."""
-    from ..exec.pages import concat_batches, deserialize_batch
-
+def _fetch_location(loc) -> tuple:
+    """Token-acked long-poll pull of ONE upstream buffer (the per-client
+    loop of ``operator/HttpPageBufferClient.java:321``): pages deserialize
+    as they arrive, so the wire wait and the decode overlap."""
     from ..exec.dist_engine import exchange_deadline_s
+    from ..exec.pages import deserialize_batch
 
     batches = []
     nbytes = 0
-    for loc in locations:
-        token = 0
-        deadline = time.time() + exchange_deadline_s()
-        while True:
-            url = (f"{loc['uri']}/v1/task/{loc['task']}/results/"
-                   f"{loc['buffer']}/{token}")
-            req = urlrequest.Request(url, method="GET")
-            with urlrequest.urlopen(req, timeout=60) as resp:
-                data = resp.read()
-                headers = dict(resp.headers)
-            if headers.get("X-P1-Buffer-Complete") == "true":
-                break
-            if headers.get("X-P1-Page-Present") == "true":
-                nbytes += len(data)
-                batches.append(deserialize_batch(data))
-                token += 1
-                deadline = time.time() + exchange_deadline_s()
-            elif time.time() > deadline:
-                raise RuntimeError(
-                    f"upstream task {loc['task']} produced no page for "
-                    f"{exchange_deadline_s():.0f}s (deadline)")
-    merged = concat_batches(batches)
-    if merged is None:
-        raise RuntimeError("remote source produced no pages")
-    return merged, nbytes
+    token = 0
+    deadline = time.time() + exchange_deadline_s()
+    while True:
+        url = (f"{loc['uri']}/v1/task/{loc['task']}/results/"
+               f"{loc['buffer']}/{token}")
+        req = urlrequest.Request(url, method="GET")
+        with urlrequest.urlopen(req, timeout=60) as resp:
+            data = resp.read()
+            headers = dict(resp.headers)
+        if headers.get("X-P1-Buffer-Complete") == "true":
+            return batches, nbytes
+        if headers.get("X-P1-Page-Present") == "true":
+            nbytes += len(data)
+            batches.append(deserialize_batch(data))
+            token += 1
+            deadline = time.time() + exchange_deadline_s()
+        elif time.time() > deadline:
+            raise RuntimeError(
+                f"upstream task {loc['task']} produced no page for "
+                f"{exchange_deadline_s():.0f}s (deadline)")
+
+
+_FETCH_PARALLELISM = int(os.environ.get("P1_EXCHANGE_CONCURRENCY", "16"))
+
+
+def _fetch_sources_concurrent(sources: dict) -> tuple:
+    """Pull EVERY upstream buffer of every stub concurrently (the
+    reference's ExchangeClient keeps one HttpPageBufferClient per upstream
+    task, all in flight at once — ``operator/ExchangeClient.java:149``).
+    Upstream tasks finish at different times; concurrent pulls mean this
+    task's wait is max(upstream walls), not their sum."""
+    from ..exec.pages import concat_batches
+
+    jobs = []  # (path, order index, location)
+    for path_str, locations in sources.items():
+        path = tuple(int(x) for x in path_str.split(",") if x != "")
+        for i, loc in enumerate(locations):
+            jobs.append((path, i, loc))
+    results: dict = {}
+    errors: list = []
+    lock = threading.Lock()
+    sem = threading.Semaphore(_FETCH_PARALLELISM)
+
+    def run(path, i, loc):
+        try:
+            with sem:
+                batches, nbytes = _fetch_location(loc)
+            with lock:
+                results[(path, i)] = (batches, nbytes)
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            with lock:
+                errors.append(e)
+
+    threads = [threading.Thread(target=run, args=j, daemon=True)
+               for j in jobs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    stubs = {}
+    total_bytes = 0
+    for path_str, locations in sources.items():
+        path = tuple(int(x) for x in path_str.split(",") if x != "")
+        batches = []
+        for i in range(len(locations)):
+            b, nb = results[(path, i)]
+            batches.extend(b)
+            total_bytes += nb
+        merged = concat_batches(batches)
+        if merged is None:
+            raise RuntimeError("remote source produced no pages")
+        stubs[path] = merged
+    return stubs, total_bytes
+
+
+def _prefetch_scans(plan, catalog) -> None:
+    """Materialise this fragment's scan columns while DCN pages are in
+    flight (overlaps connector IO/PCIe upload with the exchange wait —
+    the scheduling overlap PhasedExecutionSchedule buys the reference)."""
+    from ..sql.logical import Scan
+
+    stack = [plan]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, Scan):
+            try:
+                t = catalog.table(n.table)
+                for col in n.symbols:
+                    t.column(col)
+            except Exception:  # noqa: BLE001 — warm-up only
+                pass
+        stack.extend(n.children)
 
 
 def _make_catalog(spec: str):
@@ -289,13 +363,21 @@ class WorkerRuntime:
                                          shard["count"])
             # remote sources: this task consumes other tasks' partitioned
             # buffers over DCN (the ExchangeOperator/ExchangeClient side,
-            # operator/ExchangeClient.java:56) — pages land as stubs
+            # operator/ExchangeClient.java:56) — every upstream buffer
+            # pulls CONCURRENTLY, and the fragment's scan columns prefetch
+            # under the exchange wait (streamed exchange overlap)
+            t_start = time.time()
+            sources = body.get("sources") or {}
             stubs = {}
-            for path_str, locations in (body.get("sources") or {}).items():
-                batch, nbytes = _fetch_sources(locations)
+            if sources:
+                pf = threading.Thread(
+                    target=_prefetch_scans,
+                    args=(plan, catalog), daemon=True)
+                pf.start()
+                stubs, nbytes = _fetch_sources_concurrent(sources)
                 task.bytes_in += nbytes
-                path = tuple(int(x) for x in path_str.split(",") if x != "")
-                stubs[path] = batch
+                pf.join()
+            task.fetch_ms = round((time.time() - t_start) * 1000, 3)
             from ..exec.stats import QueryStats
 
             t0 = time.time()
@@ -353,6 +435,7 @@ class WorkerRuntime:
                                                  int(part["count"]))
             else:
                 task.buffers = [_paginate(out, 0, n)]
+            task.wall_ms = round((time.time() - t_start) * 1000, 3)
             task.state = TaskState.FINISHED
             from ..exec.metrics import REGISTRY
 

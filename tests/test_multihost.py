@@ -318,6 +318,28 @@ def test_distributed_topn(runner, local_engine):
     assert info["sorted_stages"] >= 1, info  # the dist-sort stage reported
 
 
+def test_exchange_overlap_pipelines_stages(runner, local_engine):
+    """Streamed exchange: every upstream buffer pulls concurrently and a
+    downstream task's exchange wait overlaps upstream execution (tasks of
+    ALL stages are created up front; ExchangeClient/PhasedExecutionSchedule
+    analog).  Witness: total query wall < sum of per-stage walls."""
+    sql = ("select c_mktsegment, count(*) c, sum(l_extendedprice) v "
+           "from customer, orders, lineitem "
+           "where c_custkey = o_custkey and o_orderkey = l_orderkey "
+           "group by c_mktsegment order by c_mktsegment")
+    info = {}
+    actual = runner.engine.sql(sql, info=info).to_pandas()
+    expected = local_engine.sql_pandas(sql)
+    assert_frames_match(actual, expected, ordered=True)
+    walls = [ss["wallMs"] for ss in info["stage_stats"]]
+    assert len(walls) >= 3, info["stage_stats"]
+    assert info["wall_ms"] < sum(walls), (info["wall_ms"], walls)
+    # downstream stages actually spent time in the (overlapped) wait
+    fetches = [ss["fetchMs"] for ss in info["stage_stats"]
+               if ss["distribution"] == "hash"]
+    assert fetches and max(fetches) > 0, info["stage_stats"]
+
+
 def test_distributed_order_by_merges(runner, local_engine):
     """Plain ORDER BY at scale: per-task sorts are CONSUMED by the
     coordinator's k-way merge (exec/merge.py, MergeOperator analog) —
