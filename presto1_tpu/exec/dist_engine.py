@@ -214,12 +214,16 @@ class RemoteTaskClient:
                sources: Optional[dict] = None,
                partitioning: Optional[dict] = None,
                collect_domains: Optional[List[str]] = None,
-               collect_stats: bool = False) -> None:
+               collect_stats: bool = False,
+               collect_hot: Optional[float] = None,
+               hot_hashes: Optional[list] = None) -> None:
         body = json.dumps({"fragment": fragment_json, "shard": shard,
                            "sources": sources,
                            "output_partitioning": partitioning,
                            "collect_domains": collect_domains,
-                           "collect_stats": collect_stats}).encode()
+                           "collect_stats": collect_stats,
+                           "collect_hot": collect_hot,
+                           "hot_hashes": hot_hashes}).encode()
         self._rpc("POST", f"/v1/task/{self.task_id}", body)
 
     def status(self) -> dict:
@@ -308,12 +312,17 @@ class MultiHostEngine:
 
     def __init__(self, catalog, registry: NodeRegistry,
                  shards_per_node: int = 1, dynamic_filtering: bool = True,
-                 broadcast_threshold: int = 100_000):
+                 broadcast_threshold: int = 100_000,
+                 skew_threshold: float = 4.0):
         self.catalog = catalog  # coordinator-local metadata (plan-time only)
         self.registry = registry
         self.shards_per_node = shards_per_node
         self.dynamic_filtering = dynamic_filtering
         self.broadcast_threshold = broadcast_threshold
+        # hot-key handling in repartition joins: a probe key hash whose
+        # row count exceeds threshold x fair-share reroutes round-robin
+        # and its build rows replicate to every task (0 disables)
+        self.skew_threshold = skew_threshold
 
     def plan(self, sql: str) -> L.LogicalNode:
         q = sql_parser.parse(sql)
@@ -327,7 +336,8 @@ class MultiHostEngine:
         coord_plan, coord_sources, stages = build_stage_dag(
             plan, self.catalog,
             broadcast_threshold=self.broadcast_threshold,
-            dynamic_filtering=self.dynamic_filtering)
+            dynamic_filtering=self.dynamic_filtering,
+            skew=bool(self.skew_threshold))
         nodes = self.registry.active_nodes()
         if not nodes:
             raise QueryFailed("no active worker nodes")
@@ -347,7 +357,9 @@ class MultiHostEngine:
                        1 for st in stages if st.sorted_by is not None),
                    # how many of those the coordinator consumed with the
                    # k-way merge (vs re-sorting) — exec/merge.py
-                   "merged_stages": 0}
+                   "merged_stages": 0,
+                   # repartition joins where hot-key rerouting fired
+                   "skew_joins": 0}
         stage_clients: Dict[int, List[RemoteTaskClient]] = {}
 
         def task_sources(st, p: int) -> Optional[dict]:
@@ -380,6 +392,27 @@ class MultiHostEngine:
                         stages[probe_sid].plan = _apply_dynamic_filter(
                             stages[probe_sid].plan, conj)
                         metrics["df_applied"] = True
+            elif st.skew is not None and self.skew_threshold:
+                # skew-aware repartition join (north star — SURVEY §2.8,
+                # the reference has no skew path): probe stage runs first
+                # with hot-hash detection; its tasks scatter hot rows
+                # round-robin and report the hashes; the union pushes to
+                # the build stage, whose tasks replicate those rows into
+                # EVERY buffer — hot keys spread across all tasks while
+                # cold keys keep the plain co-partitioned path.
+                probe_sid, build_sid = st.skew
+                if (probe_sid not in stage_clients
+                        and build_sid not in stage_clients):
+                    stages[probe_sid].collect_hot = self.skew_threshold
+                    schedule(probe_sid)
+                    hot: set = set()
+                    for c in stage_clients[probe_sid]:
+                        hot.update(int(x) for x in
+                                   (c.wait_finished().get("hotKeys")
+                                    or []))
+                    if hot:
+                        stages[build_sid].hot_hashes = sorted(hot)
+                        metrics["skew_joins"] += 1
             for src in st.sources:
                 schedule(src.stage)
             frag_json = plan_to_json(st.plan)
@@ -396,7 +429,9 @@ class MultiHostEngine:
                               sources=task_sources(st, p),
                               partitioning=part,
                               collect_domains=st.collect_domains,
-                              collect_stats=info is not None)
+                              collect_stats=info is not None,
+                              collect_hot=st.collect_hot,
+                              hot_hashes=st.hot_hashes)
                 clients.append(client)
             stage_clients[sid] = clients
             metrics["stage1_tasks" if st.distribution == "source"
@@ -476,6 +511,7 @@ class MultiHostEngine:
                 merged: Dict[tuple, dict] = {}
                 stage_wall = 0.0
                 stage_fetch = 0.0
+                task_bytes_in: List[int] = []
                 for c in stage_clients[sid]:
                     try:
                         tinfo = c.status()
@@ -484,6 +520,7 @@ class MultiHostEngine:
                     if st.sources:
                         metrics["exchange_bytes_in"] += int(
                             tinfo.get("bytesIn") or 0)
+                    task_bytes_in.append(int(tinfo.get("bytesIn") or 0))
                     # stage wall = slowest task, INCLUDING its exchange
                     # wait: that wait overlaps upstream execution, so
                     # query wall < sum of stage walls proves pipelining
@@ -507,6 +544,7 @@ class MultiHostEngine:
                     "tasks": len(stage_clients[sid]),
                     "wallMs": stage_wall,
                     "fetchMs": stage_fetch,
+                    "taskBytesIn": task_bytes_in,
                     "operators": [merged[k] for k in sorted(merged)],
                 })
             metrics["stage_stats"] = stage_stats

@@ -69,6 +69,15 @@ class Stage:
     # output of every task is locally sorted by these (expr, asc,
     # nulls_first) keys — the coordinator merges instead of re-sorting
     sorted_by: Optional[list] = None
+    # (probe_stage, build_stage) of an in-stage repartition join eligible
+    # for skew handling: the scheduler runs the probe stage first, unions
+    # the per-task hot-hash reports, and tells the build stage to
+    # replicate hot rows into every buffer (north-star differentiator —
+    # the reference has no skew path, SURVEY §2.8)
+    skew: Optional[Tuple[int, int]] = None
+    # runtime fields filled by the scheduler before task creation
+    collect_hot: Optional[float] = None   # threshold for probe tasks
+    hot_hashes: Optional[list] = None     # merged hot set for build tasks
 
 
 class _Open:
@@ -84,6 +93,11 @@ class _Open:
         self.hash_keys_alts = hash_keys_alts or []
         self.sources = sources or []
         self.df: Optional[Tuple[int, int, List[str], List[str]]] = None
+        # (probe_sid, build_sid) while this fragment's root join is still
+        # skew-reroutable; cleared the moment anything in-stage EXPLOITS
+        # co-partitioning (continuation join, co-grouped aggregate,
+        # MarkDistinct), since skew rerouting scatters hot keys
+        self.skew: Optional[Tuple[int, int]] = None
 
     def append(self, parent: L.LogicalNode, child_index: int = 0,
                extra_sources: Optional[List[RemoteSource]] = None):
@@ -149,10 +163,14 @@ _PARTITIONABLE = ("inner", "left", "right", "full", "semi", "anti")
 
 class StageDagBuilder:
     def __init__(self, catalog, broadcast_threshold: int = 100_000,
-                 dynamic_filtering: bool = True):
+                 dynamic_filtering: bool = True, skew: bool = True):
         self.catalog = catalog
         self.broadcast_threshold = broadcast_threshold
         self.dynamic_filtering = dynamic_filtering
+        # mark repartition joins skew-reroutable; splittable aggregates
+        # above them then take the partial/final split (placement-
+        # agnostic) instead of the exact co-grouped continuation
+        self.skew = skew
         self.stages: List[Stage] = []
 
     # ------------------------------------------------------------ stages
@@ -164,7 +182,7 @@ class StageDagBuilder:
         self.stages.append(Stage(
             sid, open_.plan, open_.dist, open_.table, partition_keys,
             open_.sources, collect_domains=collect_domains,
-            df=open_.df, sorted_by=sorted_by))
+            df=open_.df, sorted_by=sorted_by, skew=open_.skew))
         return sid
 
     def _to_local(self, res, sorted_by: Optional[list] = None) -> _Local:
@@ -238,6 +256,7 @@ class StageDagBuilder:
         # ---- co-partitioned continuation: probe side already hashed on
         # the join keys — join joins the open stage, only build moves
         if lr.dist == "hash" and lr.partitioned_on(lks):
+            lr.skew = None  # continuation RELIES on exact co-partitioning
             rid = self._close(rr, partition_keys=rks)
             lr.append(node, child_index=0,
                       extra_sources=[RemoteSource((1,), rid, "partition")])
@@ -251,6 +270,7 @@ class StageDagBuilder:
             return lr
         if (rr.dist == "hash" and rr.partitioned_on(rks)
                 and node.kind == "inner"):
+            rr.skew = None  # continuation RELIES on exact co-partitioning
             lid = self._close(lr, partition_keys=lks)
             rr.append(node, child_index=1,
                       extra_sources=[RemoteSource((0,), lid, "partition")])
@@ -285,6 +305,13 @@ class StageDagBuilder:
                      RemoteSource((1,), rid, "partition")])
         if df_ok:
             out.df = (lid, rid, lks, rks)
+        if self.skew and node.kind in ("inner", "left", "semi", "anti"):
+            # skew-reroutable: probe rows land exactly once wherever they
+            # go, and broadcast hot build rows reach every task — matched
+            # and probe-unmatched rows emit exactly once.  FULL/right are
+            # excluded (broadcast build rows would duplicate the
+            # null-extended anti part).
+            out.skew = (lid, rid)
         return out
 
     def _join_local(self, node: L.Join, lr, rr) -> _Local:
@@ -303,11 +330,16 @@ class StageDagBuilder:
             return r.wrap(node)
         group = list(node.group)
 
-        # groups provably co-located: the whole aggregate runs in-stage
-        if r.dist == "hash" and group and r.co_grouped(group):
-            return r.append(node)
-
         split = split_aggregate(node)
+        # groups provably co-located: the whole aggregate runs in-stage —
+        # UNLESS the stage still carries a skew-reroutable join and the
+        # aggregate splits: a partial aggregate is placement-agnostic, so
+        # taking the partial/final split keeps the skew path available
+        # (hot groups then weigh one partial row per task, not millions)
+        if r.dist == "hash" and group and r.co_grouped(group) \
+                and (split is None or r.skew is None):
+            r.skew = None  # exact grouping RELIES on co-partitioning
+            return r.append(node)
         if split is None:
             # distinct aggregates don't split partial/final — but a
             # repartition on the group keys co-locates each group wholly,
@@ -356,6 +388,7 @@ class StageDagBuilder:
         if isinstance(r, _Local):
             return r.wrap(node)
         if r.dist == "hash" and node.group and r.co_grouped(node.group):
+            r.skew = None  # markers RELY on co-partitioning
             return r.append(node)
         if node.group:
             sid = self._close(r, partition_keys=list(node.group))
@@ -403,10 +436,10 @@ class StageDagBuilder:
 
 def build_stage_dag(plan: L.LogicalNode, catalog,
                     broadcast_threshold: int = 100_000,
-                    dynamic_filtering: bool = True):
+                    dynamic_filtering: bool = True, skew: bool = True):
     """Plan → (coordinator plan, {stub path: stage id}, stages).
 
     Stages are topologically ordered by construction (a stage's sources
     always have smaller ids)."""
     return StageDagBuilder(catalog, broadcast_threshold,
-                           dynamic_filtering).build(plan)
+                           dynamic_filtering, skew).build(plan)

@@ -76,6 +76,8 @@ class WorkerTask:
         # overlaps) vs total — overlap evidence in stage_stats
         self.fetch_ms = 0.0
         self.wall_ms = 0.0
+        # hot key hashes detected at partition time (skew probe side)
+        self.hot_keys: Optional[list] = None
 
     @property
     def pages(self) -> list:  # legacy single-buffer view
@@ -88,7 +90,8 @@ class WorkerTask:
                 "bytesIn": self.bytes_in, "bytesOut": self.bytes_out,
                 "domains": self.domains,
                 "operatorStats": self.operator_stats,
-                "fetchMs": self.fetch_ms, "wallMs": self.wall_ms}
+                "fetchMs": self.fetch_ms, "wallMs": self.wall_ms,
+                "hotKeys": self.hot_keys}
 
 
 def _paginate(out, lo0: int, n: int) -> list:
@@ -155,17 +158,46 @@ def _key_hash_host(batch, n: int, keys) -> "np.ndarray":
     return h
 
 
-def _partition_output(out, n: int, keys, count: int) -> list:
+def _partition_output(out, n: int, keys, count: int,
+                      collect_hot: Optional[float] = None,
+                      hot_hashes: Optional[list] = None,
+                      task: Optional["WorkerTask"] = None) -> list:
     """Hash-partition the task output into ``count`` destination buffers
     (PartitionedOutputBuffer).  Runs host-side: the pages are serialized
-    to the host anyway, and the hash must be cross-host deterministic."""
+    to the host anyway, and the hash must be cross-host deterministic.
+
+    Skew handling (the north-star differentiator — the reference's
+    PartitionedOutputOperator has no skew path): with ``collect_hot``
+    (probe side), key hashes whose row count exceeds threshold x
+    fair-share scatter ROUND-ROBIN across destinations and the hashes are
+    reported in task info; with ``hot_hashes`` (build side, the
+    coordinator-merged union of all probe reports), those rows replicate
+    into EVERY buffer — every scattered probe row still meets all of its
+    build rows, while the hot load spreads over all tasks."""
     import numpy as np
 
     from ..batch import Column, RecordBatch
 
     if n == 0:
         return [_paginate(out, 0, 0) for _ in range(count)]
-    part = (_key_hash_host(out, n, keys) % np.uint64(count)).astype(np.int64)
+    h = _key_hash_host(out, n, keys)
+    part = (h % np.uint64(count)).astype(np.int64)
+    bcast = None
+    if collect_hot and n:
+        vals, cnts = np.unique(h, return_counts=True)
+        fair = max(n / count, 1.0)
+        hotm = cnts > float(collect_hot) * fair
+        if hotm.any():
+            hot = vals[hotm]
+            order = np.argsort(cnts[hotm])[::-1][:64]  # top-64 by count
+            hot = hot[order]
+            rows = np.isin(h, hot)
+            part[rows] = np.arange(int(rows.sum())) % count
+            if task is not None:
+                task.hot_keys = [int(x) for x in hot]
+    if hot_hashes:
+        bcast = np.isin(h, np.asarray(
+            [np.uint64(x) for x in hot_hashes], dtype=np.uint64))
     buffers = []
     import jax.numpy as jnp
 
@@ -179,6 +211,8 @@ def _partition_output(out, n: int, keys, count: int) -> list:
                  for name, c in out.columns.items()}
     for p in range(count):
         sel = part == p
+        if bcast is not None:
+            sel = sel | bcast  # hot build rows ride every buffer
         cols = {}
         for name, (data, validity, lengths, mv) in host_cols.items():
             c = out[name]
@@ -431,8 +465,10 @@ class WorkerRuntime:
 
             part = body.get("output_partitioning")
             if part is not None:
-                task.buffers = _partition_output(out, n, part["keys"],
-                                                 int(part["count"]))
+                task.buffers = _partition_output(
+                    out, n, part["keys"], int(part["count"]),
+                    collect_hot=body.get("collect_hot"),
+                    hot_hashes=body.get("hot_hashes"), task=task)
             else:
                 task.buffers = [_paginate(out, 0, n)]
             task.wall_ms = round((time.time() - t_start) * 1000, 3)

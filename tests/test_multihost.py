@@ -318,6 +318,58 @@ def test_distributed_topn(runner, local_engine):
     assert info["sorted_stages"] >= 1, info  # the dist-sort stage reported
 
 
+def test_skew_aware_repartition_join_dcn(runner, local_engine):
+    """Engineered-skew repartition join on the DCN plane: l_linenumber has
+    7 values with ~25% of rows on value 1, so hash(l_linenumber)
+    partitions are wildly unbalanced.  With skew handling the probe stage
+    reports hot hashes, scatters those rows round-robin, and the build
+    stage replicates its hot rows into every buffer — the join stage's
+    per-task input evens out and results stay exact."""
+    from presto1_tpu.exec.dist_engine import MultiHostEngine
+
+    sql = ("select l_linenumber, count(*) c, sum(l_quantity) q "
+           "from lineitem, nation where l_linenumber = n_nationkey "
+           "group by l_linenumber order by l_linenumber")
+    expected = local_engine.sql_pandas(sql)
+
+    def run(skew_threshold):
+        eng = MultiHostEngine(TpchCatalog("tiny"), runner.registry,
+                              shards_per_node=2, broadcast_threshold=0,
+                              dynamic_filtering=False,
+                              skew_threshold=skew_threshold)
+        info = {}
+        out = eng.sql(sql, info=info).to_pandas()
+        assert_frames_match(out, expected, ordered=True)
+        join_stage = next(ss for ss in info["stage_stats"]
+                          if ss["distribution"] == "hash"
+                          and len(ss["taskBytesIn"]) > 0
+                          and max(ss["taskBytesIn"]) > 0)
+        return info, join_stage["taskBytesIn"]
+
+    info_off, bytes_off = run(skew_threshold=0.0)
+    info_on, bytes_on = run(skew_threshold=0.7)
+    assert info_off["skew_joins"] == 0
+    assert info_on["skew_joins"] >= 1, info_on
+    # the hottest task's input shrinks once hot keys scatter
+    assert max(bytes_on) < max(bytes_off), (bytes_on, bytes_off)
+
+
+def test_skew_multi_key_dcn(runner, local_engine):
+    """Multi-key skew rides the same row-hash mechanism (hot HASHES, not
+    values), so composite keys need no extra machinery."""
+    from presto1_tpu.exec.dist_engine import MultiHostEngine
+
+    sql = ("select count(*) c from lineitem, partsupp "
+           "where l_linenumber = ps_availqty and l_suppkey = ps_suppkey")
+    expected = local_engine.sql_pandas(sql)
+    eng = MultiHostEngine(TpchCatalog("tiny"), runner.registry,
+                          shards_per_node=2, broadcast_threshold=0,
+                          dynamic_filtering=False, skew_threshold=0.7)
+    info = {}
+    out = eng.sql(sql, info=info).to_pandas()
+    assert_frames_match(out, expected, ordered=False)
+
+
 def test_exchange_overlap_pipelines_stages(runner, local_engine):
     """Streamed exchange: every upstream buffer pulls concurrently and a
     downstream task's exchange wait overlaps upstream execution (tasks of
@@ -483,7 +535,7 @@ def test_distributed_explain_analyze(runner):
     assert "Stage 0" in text and "Aggregate" in text and "ms across" in text
 
 
-def _stage_dag_for(sql, broadcast_threshold=0):
+def _stage_dag_for(sql, broadcast_threshold=0, skew=False):
     from presto1_tpu.exec.stage_dag import build_stage_dag
     from presto1_tpu.sql import parser as sql_parser
     from presto1_tpu.sql.optimizer import optimize
@@ -491,8 +543,11 @@ def _stage_dag_for(sql, broadcast_threshold=0):
 
     cat = TpchCatalog("tiny")
     plan = optimize(Planner(cat).plan(sql_parser.parse(sql)), cat)
+    # skew=False keeps the exact co-grouped continuation plans these
+    # shape tests pin; skew-marked plans prefer partial/final splits
     return build_stage_dag(plan, cat,
-                           broadcast_threshold=broadcast_threshold)
+                           broadcast_threshold=broadcast_threshold,
+                           skew=skew)
 
 
 def test_full_join_registers_no_partition_alts():
