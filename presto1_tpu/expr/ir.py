@@ -220,3 +220,27 @@ def walk(expr: Expr):
 
 def referenced_columns(expr: Expr):
     return {e.name for e in walk(expr) if isinstance(e, ColumnRef)}
+
+
+def substitute(expr: Expr, mapping) -> Expr:
+    """Replace ColumnRefs by name (ExpressionSymbolInliner analog).
+    Lambda parameters shadow; a DictLookup's column must stay a plain
+    column — substituting an expression into one raises ValueError."""
+    if isinstance(expr, ColumnRef):
+        return mapping.get(expr.name, expr)
+    if isinstance(expr, Call):
+        return Call(expr.fn,
+                    tuple(substitute(a, mapping) for a in expr.args),
+                    expr.type)
+    if isinstance(expr, Lambda):
+        inner = {k: v for k, v in mapping.items() if k not in expr.params}
+        return Lambda(expr.params, substitute(expr.body, inner), expr.type)
+    if isinstance(expr, DictLookup):
+        c = substitute(expr.column, mapping)
+        if c is expr.column:
+            return expr
+        if not isinstance(c, ColumnRef):
+            raise ValueError("cannot inline an expression under DictLookup")
+        return DictLookup(c, expr.table, expr.type, expr.label,
+                          expr.dictionary, expr.valid_table)
+    return expr

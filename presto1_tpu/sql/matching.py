@@ -174,10 +174,250 @@ def _remove_identity_project(m: Match) -> Optional[L.LogicalNode]:
     return proj.child
 
 
+def _merge_limit_with_sort(m: Match) -> Optional[L.LogicalNode]:
+    """Limit over an un-truncated Sort = TopN (MergeLimitWithSort.java).
+    Executor Sort semantics match exactly: keep limit+offset rows, then
+    skip offset."""
+    outer: L.Limit = m.node
+    inner: L.Sort = outer.child
+    return L.Sort(inner.child, inner.keys, limit=outer.n,
+                  offset=outer.offset)
+
+
+def _single_row_output(node: L.LogicalNode) -> bool:
+    return isinstance(node, L.SingleRow) or (
+        isinstance(node, L.Aggregate) and not node.group)
+
+
+def _remove_redundant_sort(m: Match) -> Optional[L.LogicalNode]:
+    """Sort over a provably <=1-row input (RemoveRedundantSort.java)."""
+    sort: L.Sort = m.node
+    if sort.limit is None and not sort.offset:
+        return sort.child
+    return L.Limit(sort.child, sort.limit, sort.offset)
+
+
+def _merge_sorts(m: Match) -> Optional[L.LogicalNode]:
+    """Sort over an un-truncated Sort: the outer order wins, the inner
+    sort is dead work (RemoveRedundantSort's sort-below-sort case)."""
+    outer: L.Sort = m.node
+    inner: L.Sort = outer.child
+    return L.Sort(inner.child, outer.keys, outer.limit, outer.offset)
+
+
+def _eliminate_cross_join_single_row(m: Match) -> Optional[L.LogicalNode]:
+    join: L.Join = m.node
+    if isinstance(join.right, L.SingleRow):
+        return join.left
+    if isinstance(join.left, L.SingleRow):
+        return join.right
+    return None
+
+
+def _remove_trivial_filter(m: Match) -> Optional[L.LogicalNode]:
+    """WHERE true → drop; WHERE false → LIMIT 0 (RemoveTrivialFilters)."""
+    from ..expr import ir
+
+    f: L.Filter = m.node
+    p = f.predicate
+    if isinstance(p, ir.Literal):
+        if p.value is True:
+            return f.child
+        if p.value is False:
+            return L.Limit(f.child, 0)
+    return None
+
+
+def _push_limit_through_left_join(m: Match) -> Optional[L.LogicalNode]:
+    """A LEFT join emits >=1 row per probe row, so the first n+offset
+    output rows involve at most n+offset probe rows
+    (PushLimitThroughOuterJoin.java)."""
+    outer: L.Limit = m.node
+    join: L.Join = outer.child
+    if outer.n is None:
+        return None
+    budget = outer.n + outer.offset
+    left = join.left
+    if isinstance(left, L.Limit) and left.n is not None \
+            and left.n <= budget:
+        return None  # already pushed
+    return L.Limit(
+        L.Join(L.Limit(left, budget), join.right, join.kind, join.equis,
+               join.residual, join.build_unique),
+        outer.n, outer.offset)
+
+
+def _branch_mapping(union: L.Union, i: int) -> dict:
+    from ..expr import ir
+
+    out = {}
+    for s, _, srcs in union.outputs:
+        bt = union.inputs[i].schema[srcs[i]]
+        out[s] = ir.ColumnRef(srcs[i], bt)
+    return out
+
+
+def _push_limit_through_union(m: Match) -> Optional[L.LogicalNode]:
+    """LIMIT n over UNION ALL: each branch needs at most n rows
+    (PushLimitThroughUnion.java)."""
+    outer: L.Limit = m.node
+    union: L.Union = outer.child
+    budget = outer.n + outer.offset
+    if all(isinstance(c, L.Limit) and c.n is not None and c.n <= budget
+           for c in union.inputs):
+        return None
+    inputs = [c if (isinstance(c, L.Limit) and c.n is not None
+                    and c.n <= budget) else L.Limit(c, budget)
+              for c in union.inputs]
+    return L.Limit(L.Union(inputs, union.outputs), outer.n, outer.offset)
+
+
+def _push_filter_through_union(m: Match) -> Optional[L.LogicalNode]:
+    """Filter over UNION ALL: evaluate per branch, before the concat
+    (the SetOperation pushdown of PredicatePushDown)."""
+    from ..expr import ir
+
+    f: L.Filter = m.node
+    union: L.Union = f.child
+    try:
+        inputs = [
+            L.Filter(union.inputs[i],
+                     ir.substitute(f.predicate, _branch_mapping(union, i)))
+            for i in range(len(union.inputs))
+        ]
+    except ValueError:
+        return None
+    return L.Union(inputs, union.outputs)
+
+
+def _push_topn_through_union(m: Match) -> Optional[L.LogicalNode]:
+    """TopN over UNION ALL: each branch keeps its own top n+offset, the
+    outer TopN finishes (PushTopNThroughUnion.java)."""
+    from ..expr import ir
+
+    sort: L.Sort = m.node
+    union: L.Union = sort.child
+    budget = sort.limit + sort.offset
+    if all(isinstance(c, L.Sort) and c.limit is not None
+           and c.limit <= budget for c in union.inputs):
+        return None
+    try:
+        inputs = []
+        for i, c in enumerate(union.inputs):
+            if isinstance(c, L.Sort) and c.limit is not None \
+                    and c.limit <= budget:
+                inputs.append(c)
+                continue
+            mapping = _branch_mapping(union, i)
+            keys = [(ir.substitute(e, mapping), asc, nf)
+                    for e, asc, nf in sort.keys]
+            inputs.append(L.Sort(c, keys, limit=budget))
+    except ValueError:
+        return None
+    return L.Sort(L.Union(inputs, union.outputs), sort.keys, sort.limit,
+                  sort.offset)
+
+
+def _push_aggregation_through_union(m: Match) -> Optional[L.LogicalNode]:
+    """Aggregate over UNION ALL → per-branch PARTIAL aggregates + one
+    final over the (tiny) union of partials
+    (PushPartialAggregationThroughExchange applied to set operations)."""
+    from ..expr import ir
+
+    agg: L.Aggregate = m.node
+    union: L.Union = agg.child
+    if all(isinstance(c, L.Aggregate) for c in union.inputs):
+        return None  # already pushed (or nothing to gain)
+    from ..exec.dist_engine import split_aggregate
+
+    split = split_aggregate(agg)
+    if split is None:
+        return None
+    partial, final, project = split
+    try:
+        new_inputs = []
+        for i, c in enumerate(union.inputs):
+            mapping = _branch_mapping(union, i)
+            b_group = [mapping[g].name for g in agg.group]
+            b_calls = [
+                L.AggCall(a.symbol, a.fn,
+                          None if a.arg is None
+                          else ir.substitute(a.arg, mapping),
+                          False, a.type)
+                for a in partial.aggs
+            ]
+            new_inputs.append(L.Aggregate(c, b_group, b_calls))
+    except ValueError:
+        return None
+    src_of = {s: srcs for s, _, srcs in union.outputs}
+    outputs = [(g, union.schema[g], list(src_of[g])) for g in agg.group]
+    outputs += [(a.symbol, a.type, [a.symbol] * len(union.inputs))
+                for a in partial.aggs]
+    new_union = L.Union(new_inputs, outputs)
+    out: L.LogicalNode = L.Aggregate(new_union, agg.group, final.aggs,
+                                     agg.primary)
+    if project is not None:
+        out = project.with_children([out])
+    return out
+
+
+def _push_projection_through_union(m: Match) -> Optional[L.LogicalNode]:
+    """Project over UNION ALL → per-branch Projects
+    (PushProjectionThroughUnion.java): expression work moves into the
+    branches (distributed stages) and exposes Aggregate-over-Union to the
+    partial-aggregation pushdown."""
+    from ..expr import ir
+
+    proj: L.Project = m.node
+    union: L.Union = proj.child
+    try:
+        new_inputs = []
+        for i, c in enumerate(union.inputs):
+            mapping = _branch_mapping(union, i)
+            new_inputs.append(L.Project(
+                c, [(s, ir.substitute(e, mapping))
+                    for s, e in proj.outputs]))
+    except ValueError:
+        return None
+    new_outputs = [(s, e.type, [s] * len(union.inputs))
+                   for s, e in proj.outputs]
+    return L.Union(new_inputs, new_outputs)
+
+
+def _merge_projections(m: Match) -> Optional[L.LogicalNode]:
+    """Project over Project → one Project (InlineProjections.java).
+    Non-trivial inner expressions inline only when referenced once —
+    duplicating work would trade latency for "fewer nodes"."""
+    from collections import Counter
+
+    from ..expr import ir
+
+    outer: L.Project = m.node
+    inner: L.Project = outer.child
+    inner_map = dict(inner.outputs)
+    refs: Counter = Counter()
+    for _, e in outer.outputs:
+        for sub in ir.walk(e):
+            if isinstance(sub, ir.ColumnRef) and sub.name in inner_map:
+                refs[sub.name] += 1
+    for s, cnt in refs.items():
+        if cnt > 1 and not isinstance(inner_map[s],
+                                      (ir.ColumnRef, ir.Literal)):
+            return None
+    try:
+        new_outputs = [(s, ir.substitute(e, inner_map))
+                       for s, e in outer.outputs]
+    except ValueError:
+        return None
+    return L.Project(inner.child, new_outputs)
+
+
 CLEANUP_RULES: List[Rule] = [
     Rule("MergeFilters",  # iterative/rule/MergeFilters.java
          Pattern.node(L.Filter).with_child(Pattern.node(L.Filter)),
          _merge_filters),
+    Rule("RemoveTrivialFilter",  # iterative/rule/RemoveTrivialFilters.java
+         Pattern.node(L.Filter), _remove_trivial_filter),
     Rule("MergeLimits",  # iterative/rule/MergeLimits.java
          Pattern.node(L.Limit).with_child(Pattern.node(L.Limit)),
          _merge_limits),
@@ -185,10 +425,51 @@ CLEANUP_RULES: List[Rule] = [
          Pattern.node(L.Limit).matching(
              lambda n: n.n is None and not n.offset),
          _remove_noop_limit),
+    Rule("MergeLimitWithSort",  # iterative/rule/MergeLimitWithSort.java
+         Pattern.node(L.Limit).with_child(
+             Pattern.node(L.Sort).matching(
+                 lambda n: n.limit is None and not n.offset)),
+         _merge_limit_with_sort),
     Rule("PushLimitThroughProject",  # iterative/rule/PushLimitThroughProject
          Pattern.node(L.Limit).matching(lambda n: not n.offset)
          .with_child(Pattern.node(L.Project)),
          _push_limit_through_project),
+    Rule("PushLimitThroughOuterJoin",  # iterative/rule/PushLimitThroughOuterJoin
+         Pattern.node(L.Limit).with_child(
+             Pattern.node(L.Join).matching(lambda n: n.kind == "left")),
+         _push_limit_through_left_join),
+    Rule("PushLimitThroughUnion",  # iterative/rule/PushLimitThroughUnion
+         Pattern.node(L.Limit).matching(lambda n: n.n is not None)
+         .with_child(Pattern.node(L.Union)),
+         _push_limit_through_union),
+    Rule("PushTopNThroughUnion",  # iterative/rule/PushTopNThroughUnion
+         Pattern.node(L.Sort).matching(lambda n: n.limit is not None)
+         .with_child(Pattern.node(L.Union)),
+         _push_topn_through_union),
+    Rule("PushFilterThroughUnion",  # PredicatePushDown set-operation case
+         Pattern.node(L.Filter).with_child(Pattern.node(L.Union)),
+         _push_filter_through_union),
+    Rule("PushAggregationThroughUnion",  # partial-agg pushdown over union
+         Pattern.node(L.Aggregate).with_child(Pattern.node(L.Union)),
+         _push_aggregation_through_union),
+    Rule("PushProjectionThroughUnion",  # iterative/rule/PushProjectionThroughUnion
+         Pattern.node(L.Project).with_child(Pattern.node(L.Union)),
+         _push_projection_through_union),
+    Rule("RemoveRedundantSort",  # iterative/rule/RemoveRedundantSort.java
+         Pattern.node(L.Sort).matching(
+             lambda n: _single_row_output(n.child)),
+         _remove_redundant_sort),
+    Rule("MergeSorts",  # sort below sort: outer order wins
+         Pattern.node(L.Sort).with_child(
+             Pattern.node(L.Sort).matching(
+                 lambda n: n.limit is None and not n.offset)),
+         _merge_sorts),
+    Rule("EliminateCrossJoinWithSingleRow",
+         Pattern.node(L.Join).matching(lambda n: n.kind == "cross"),
+         _eliminate_cross_join_single_row),
+    Rule("InlineProjections",  # iterative/rule/InlineProjections.java
+         Pattern.node(L.Project).with_child(Pattern.node(L.Project)),
+         _merge_projections),
     Rule("RemoveRedundantIdentityProjection",
          Pattern.node(L.Project), _remove_identity_project),
 ]
