@@ -583,6 +583,17 @@ class Parser:
                 return ast.IntervalLit(int(v), unit)
             if t.value == "case":
                 return self._case()
+            # ROW(e1, e2, ...) constructor — 'row' is a keyword (window
+            # frames) but doubles as the row-type constructor
+            if t.value == "row" and self.peek(1).kind == "op" \
+                    and self.peek(1).value == "(":
+                self.next()
+                self.next()  # (
+                args = [self._expr()]
+                while self.accept("op", ","):
+                    args.append(self._expr())
+                self.expect("op", ")")
+                return ast.FuncCall("row", args)
             if t.value == "cast":
                 self.next()
                 self.expect("op", "(")

@@ -87,6 +87,30 @@ class _TwoLevelScope(Scope):
 
 
 @dataclass
+class RowExpr:
+    """A row-typed expression bundle (planner-internal, never reaches the
+    executor): the TPU-first decomposition of ``spi/type/RowType`` values
+    into per-field expressions.  Field access selects a member; a
+    row-valued select item materialises one column per field; anything
+    else (arithmetic, predicates, grouping) rejects with a PlanError."""
+
+    fields: List[Tuple[str, ir.Expr]]
+
+    @property
+    def type(self):
+        from ..types import RowType
+
+        return RowType([(n, e.type) for n, e in self.fields])
+
+    def field(self, name: str) -> ir.Expr:
+        for n, e in self.fields:
+            if n == name:
+                return e
+        raise PlanError(f"row has no field {name!r} "
+                        f"(fields: {[n for n, _ in self.fields]})")
+
+
+@dataclass
 class RelationPlan:
     node: LogicalNode
     scope: Scope
@@ -165,6 +189,9 @@ class Planner:
     def __init__(self, catalog):
         self.catalog = catalog
         self._counter = 0
+        # row symbol -> [(field name, field symbol, field type)] — the
+        # struct-of-arrays registry behind every row-typed scope field
+        self.row_bindings: Dict[str, list] = {}
 
     def symbol(self, base: str) -> str:
         self._counter += 1
@@ -376,8 +403,18 @@ class Planner:
     # ------------------------------------------------------------- entry
 
     def plan(self, query: ast.Query) -> LogicalNode:
+        from ..types import RowType
+
         rel = self.plan_query(query, outer=None, ctes={})
-        names = [(f.name, f.symbol) for f in rel.scope.fields]
+        names = []
+        for f in rel.scope.fields:
+            if isinstance(f.type, RowType):
+                # a top-level row flattens to one column per field
+                # (struct-of-arrays all the way to the client)
+                for fn, fs, _ in self.row_bindings[f.symbol]:
+                    names.append((f"{f.name}.{fn}", fs))
+            else:
+                names.append((f.name, f.symbol))
         return Output(rel.node, names)
 
     def plan_query(self, query: ast.Query, outer: Optional[Scope],
@@ -777,10 +814,19 @@ class Planner:
                              by_value=group_ast_map)
         outputs: List[Tuple[str, ir.Expr]] = []
         out_fields: List[FieldRef] = []
+        from ..types import RowType
+
         for i in sel.items:
             if i.expr is None:  # star
                 for f in scope.fields:
                     if i.star_qualifier and f.qualifier != i.star_qualifier:
+                        continue
+                    if isinstance(f.type, RowType):
+                        # rows flatten through * (struct-of-arrays view)
+                        for fn, fs, ft in self.row_bindings[f.symbol]:
+                            outputs.append((fs, ir.ColumnRef(fs, ft)))
+                            out_fields.append(
+                                FieldRef(None, f"{f.name}.{fn}", fs, ft))
                         continue
                     outputs.append((f.symbol, ir.ColumnRef(f.symbol, f.type)))
                     out_fields.append(FieldRef(None, f.name, f.symbol, f.type))
@@ -788,6 +834,18 @@ class Planner:
             e = conv.convert(i.expr)
             name = i.alias or (i.expr.name if isinstance(i.expr, ast.Identifier)
                                else self.symbol("col").replace("#", "_"))
+            if isinstance(e, RowExpr):
+                # a row-valued select item materialises per-field columns;
+                # the row itself stays a logical binding over them
+                binding = []
+                for fn, fe in e.fields:
+                    fsym = self.symbol(f"{name}${fn}")
+                    outputs.append((fsym, fe))
+                    binding.append((fn, fsym, fe.type))
+                rowsym = self.symbol(name)
+                self.row_bindings[rowsym] = binding
+                out_fields.append(FieldRef(None, name, rowsym, e.type))
+                continue
             sym = e.name if isinstance(e, ir.ColumnRef) else self.symbol(name)
             if not isinstance(e, ir.ColumnRef):
                 outputs.append((sym, e))
@@ -823,6 +881,10 @@ class Planner:
             hidden: List[Tuple[str, ir.Expr]] = []
             for o in sel.order_by:
                 e = sconv.convert(o.expr)
+                if isinstance(e, RowExpr):
+                    raise PlanError(
+                        "row values cannot appear in ORDER BY "
+                        "(sort by a field instead, e.g. r.f0)")
                 # ensure referenced symbols exist in projection output
                 for r in ir.walk(e):
                     if isinstance(r, ir.ColumnRef) and r.name not in node.schema:
@@ -1044,7 +1106,16 @@ class ExprConverter:
             raise PlanError(f"cannot convert {type(e).__name__}")
         return m(e)
 
+    def _row_expand(self, f: "FieldRef") -> RowExpr:
+        binding = self.planner.row_bindings.get(f.symbol)
+        if binding is None:
+            raise PlanError(f"row value {f.name} is not accessible here")
+        return RowExpr([(fn, ir.ColumnRef(fs, ft))
+                        for fn, fs, ft in binding])
+
     def _c_Identifier(self, e: ast.Identifier) -> ir.Expr:
+        from ..types import RowType
+
         if e.qualifier is None and e.name in self.lambda_params:
             return self.lambda_params[e.name]
         try:
@@ -1054,9 +1125,26 @@ class ExprConverter:
                 import time as _time
 
                 return ir.Literal(int(_time.time() // 86400), DATE)
+            # row field access: r.a / t.r.a — the prefix names a
+            # row-typed field, the last part selects its member
+            if len(e.parts) >= 2:
+                rq = e.parts[-3] if len(e.parts) >= 3 else None
+                try:
+                    rf, rdepth = self.scope.resolve(rq, e.parts[-2])
+                except PlanError:
+                    raise
+                if isinstance(rf.type, RowType):
+                    if rdepth > 0:
+                        raise PlanError("correlated row references "
+                                        "unsupported")
+                    return self._row_expand(rf).field(e.parts[-1])
             raise
         if depth > 0:
             self.used_outer.add(f.symbol)
+        if isinstance(f.type, RowType):
+            if depth > 0:
+                raise PlanError("correlated row references unsupported")
+            return self._row_expand(f)
         return ir.ColumnRef(f.symbol, f.type)
 
     def _c_NumberLit(self, e: ast.NumberLit) -> ir.Expr:
@@ -1092,6 +1180,9 @@ class ExprConverter:
             raise PlanError("interval arithmetic only on date literals")
         left = self.convert(e.left)
         right = self.convert(e.right)
+        if isinstance(left, RowExpr) or isinstance(right, RowExpr):
+            raise PlanError("row values only support field access and "
+                            "CAST (comparisons/arithmetic excluded)")
         if e.op == "||" and left.type.kind == "array":
             return ir.Call("array_concat", (left, right), left.type)
         op = {"%": "mod"}.get(e.op, e.op)
@@ -1215,6 +1306,25 @@ class ExprConverter:
 
     def _c_FuncCall(self, e: ast.FuncCall) -> ir.Expr:
         name = {"pow": "power", "position": "strpos"}.get(e.name, e.name)
+        if name == "row":
+            fields = []
+            for i, a in enumerate(e.args):
+                v = self.convert(a)
+                if isinstance(v, RowExpr):
+                    raise PlanError("nested ROW construction unsupported")
+                fields.append((f"f{i}", v))
+            return RowExpr(fields)
+        if name == "element_at" and len(e.args) == 2:
+            base = self.convert(e.args[0])
+            if isinstance(base, RowExpr):
+                idx = self.convert(e.args[1])
+                if not isinstance(idx, ir.Literal):
+                    raise PlanError("row subscript must be a constant")
+                i = int(idx.value)
+                if not 1 <= i <= len(base.fields):
+                    raise PlanError(f"row subscript {i} out of range "
+                                    f"(1..{len(base.fields)})")
+                return base.fields[i - 1][1]
         if name in self.ARRAY_LAMBDA_FNS or name in self.ARRAY_FNS:
             return self._c_array_fn(name, e)
         if name == "substr" and len(e.args) >= 2:
@@ -1281,8 +1391,23 @@ class ExprConverter:
         return ir.call("case", *args)
 
     def _c_Cast(self, e: ast.Cast) -> ir.Expr:
+        from ..types import RowType
+
         t = parse_type(e.type_name)
-        return ir.call("cast", self.convert(e.expr), type=t)
+        inner = self.convert(e.expr)
+        if isinstance(t, RowType):
+            if not isinstance(inner, RowExpr):
+                raise PlanError("cast to row requires a row value")
+            if len(t.fields) != len(inner.fields):
+                raise PlanError("row cast field count mismatch")
+            fields = []
+            for (fname, ft), (_, fe) in zip(t.fields, inner.fields):
+                fields.append((fname, fe if fe.type == ft
+                               else ir.call("cast", fe, type=ft)))
+            return RowExpr(fields)
+        if isinstance(inner, RowExpr):
+            raise PlanError(f"cannot cast a row value to {t}")
+        return ir.call("cast", inner, type=t)
 
     def _c_Between(self, e: ast.Between) -> ir.Expr:
         v = self.convert(e.expr)

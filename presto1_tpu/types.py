@@ -141,6 +141,33 @@ class MapType(SqlType):
         return f"map({self.key},{self.value})"
 
 
+@dataclass(frozen=True)
+class RowType(SqlType):
+    """ROW(a bigint, b varchar) — the ``spi/type/RowType.java`` analog,
+    re-designed TPU-first as a PURELY LOGICAL view: a row value never
+    materialises as one device array.  The planner flattens every row
+    into per-field columns (struct-of-arrays — the same decomposition
+    RowBlock performs physically, done at plan time instead), field
+    access selects the underlying column, and a row-valued select item
+    outputs one column per field.  Rows are excluded from GROUP BY /
+    ORDER BY / join keys (initial scope)."""
+
+    fields: tuple = ()  # ((name, SqlType), ...)
+
+    def __init__(self, fields):
+        object.__setattr__(self, "kind", "row")
+        object.__setattr__(self, "fields", tuple(tuple(f) for f in fields))
+
+    @property
+    def np_dtype(self):
+        raise TypeError("row values are flattened to per-field columns "
+                        "and never materialise as one array")
+
+    def __str__(self):
+        inner = ",".join(f"{n} {t}" for n, t in self.fields)
+        return f"row({inner})"
+
+
 MICROS_PER_DAY = 86_400_000_000
 
 _NP_DTYPES = {
@@ -197,6 +224,17 @@ def parse_type_str(name: str) -> SqlType:
             return default
         return [x.strip() for x in n[n.find("(") + 1:n.find(")")].split(",")]
 
+    if n.startswith("row(") or n.startswith("row ("):
+        inner = n[n.find("(") + 1:n.rfind(")")]
+        fields = []
+        for i, part in enumerate(_split_type_args(inner)):
+            toks = part.split(None, 1)
+            if len(toks) == 2:
+                fname, ft = toks
+            else:  # anonymous field
+                fname, ft = f"f{i}", toks[0]
+            fields.append((fname, parse_type_str(ft)))
+        return RowType(fields)
     if n.startswith("array"):
         inner = n[n.find("(") + 1:n.rfind(")")]
         return ArrayType(parse_type_str(inner))
