@@ -125,12 +125,25 @@ def distributed_group_aggregate(
                 sharded[f"__v___agg_{s.name}"] = _shard(s.input.validity)
             types[f"__agg_{s.name}"] = (s.input.type, s.input.dictionary)
 
-    smapped = shard_map(
-        partial_fn, mesh=mesh,
-        in_specs=(dict.fromkeys(sharded, P(axis)),),
-        out_specs=P(axis),
-    )
-    partials = jax.jit(smapped)(sharded)  # each value: [n_dev * max_groups]
+    from .distributed import (arrays_signature, cached_program,
+                              mesh_signature)
+
+    sig = ("dist_agg", mesh_signature(mesh), axis, tuple(key_names),
+           tuple(carry_names),
+           tuple((s.fn, s.name, s.input is not None) for s in partial_specs),
+           tuple(map(tuple, ranges)), max_groups, int(num_rows),
+           arrays_signature(sharded),
+           tuple((n, str(t)) for n, (t, _) in sorted(types.items())))
+
+    def build():
+        return jax.jit(shard_map(
+            partial_fn, mesh=mesh,
+            in_specs=(dict.fromkeys(sharded, P(axis)),),
+            out_specs=P(axis),
+        ))
+
+    # each value: [n_dev * max_groups]
+    partials = cached_program(sig, build)(sharded)
     # finish the collective program before any other launches (interleaved
     # collective rendezvous deadlock on shared device threads)
     jax.block_until_ready(partials)

@@ -174,12 +174,26 @@ def distributed_hash_join(
         return res, vres, jnp.reshape(nr, (1,)), jnp.reshape(pdrop + bdrop,
                                                              (1,))
 
-    smapped = shard_map(
-        step, mesh=mesh,
-        in_specs=(dict.fromkeys(parr, P(axis)), dict.fromkeys(barr, P(axis))),
-        out_specs=P(axis),
-    )
-    data, validity, counts, dropped = jax.jit(smapped)(parr, barr)
+    from .distributed import (arrays_signature, cached_program,
+                              mesh_signature, residual_signature)
+
+    sig = ("dist_join", mesh_signature(mesh), axis, kind,
+           tuple(probe_keys), tuple(build_keys), tuple(map(tuple, ranges)),
+           quotas, local_capacity, build_unique,
+           residual_signature(residual), int(p_rows), int(b_rows),
+           arrays_signature(parr), arrays_signature(barr),
+           tuple((n, str(t)) for n, (t, _) in sorted(pmeta.items())),
+           tuple((n, str(t)) for n, (t, _) in sorted(bmeta.items())))
+
+    def build():
+        return jax.jit(shard_map(
+            step, mesh=mesh,
+            in_specs=(dict.fromkeys(parr, P(axis)),
+                      dict.fromkeys(barr, P(axis))),
+            out_specs=P(axis),
+        ))
+
+    data, validity, counts, dropped = cached_program(sig, build)(parr, barr)
     # barrier: two collective programs in flight can interleave their
     # rendezvous on the shared device threads and deadlock (observed on
     # the 8-device CPU mesh) — finish this stage before anything else
@@ -242,12 +256,26 @@ def broadcast_hash_join(
                 if c.validity is not None}
         return res, vres, jnp.reshape(out.num_rows, (1,))
 
-    smapped = shard_map(
-        step, mesh=mesh,
-        in_specs=(dict.fromkeys(parr, P(axis)), dict.fromkeys(bcols, P())),
-        out_specs=P(axis),
-    )
-    data, validity, counts = jax.jit(smapped)(parr, bcols)
+    from .distributed import (arrays_signature, cached_program,
+                              mesh_signature, residual_signature)
+
+    sig = ("bcast_join", mesh_signature(mesh), axis, kind,
+           tuple(probe_keys), tuple(build_keys), tuple(map(tuple, ranges)),
+           local_capacity, build_unique, residual_signature(residual),
+           int(p_rows), int(b_rows),
+           arrays_signature(parr), arrays_signature(bcols),
+           tuple((n, str(t)) for n, (t, _) in sorted(pmeta.items())),
+           tuple((n, str(t)) for n, (t, _) in sorted(bmeta.items())))
+
+    def build():
+        return jax.jit(shard_map(
+            step, mesh=mesh,
+            in_specs=(dict.fromkeys(parr, P(axis)),
+                      dict.fromkeys(bcols, P())),
+            out_specs=P(axis),
+        ))
+
+    data, validity, counts = cached_program(sig, build)(parr, bcols)
     jax.block_until_ready((data, validity, counts))
     return _stitch(data, validity, counts, pmeta, bmeta, kind,
                    local_capacity, n_dev)
