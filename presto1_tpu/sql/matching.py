@@ -384,6 +384,33 @@ def _push_projection_through_union(m: Match) -> Optional[L.LogicalNode]:
     return L.Union(new_inputs, new_outputs)
 
 
+def _push_semi_through_inner_join(m: Match) -> Optional[L.LogicalNode]:
+    """Semi/anti join over an inner join whose probe keys all come from
+    ONE input: filter that input BEFORE the join (a semi join IS a filter
+    on the probe relation, and filters push through inner joins).  The
+    PredicatePushDown semi-join planning of the reference; on TPC-H q18
+    this turns a 6M-row post-join semi into a ~100-row pre-join build."""
+    from ..expr import ir
+
+    semi: L.Join = m.node
+    inner: L.Join = semi.left
+    if inner.kind != "inner" or semi.residual is not None:
+        return None
+    probe_refs: set = set()
+    for a, _ in semi.equis:
+        probe_refs |= ir.referenced_columns(a)
+    if not probe_refs:
+        return None
+    for i, child in enumerate(inner.children):
+        if probe_refs <= set(child.schema):
+            pushed = L.Join(child, semi.right, semi.kind, semi.equis,
+                            None, semi.build_unique)
+            new_children = list(inner.children)
+            new_children[i] = pushed
+            return inner.with_children(new_children)
+    return None
+
+
 def _merge_projections(m: Match) -> Optional[L.LogicalNode]:
     """Project over Project → one Project (InlineProjections.java).
     Non-trivial inner expressions inline only when referenced once —
@@ -467,6 +494,11 @@ CLEANUP_RULES: List[Rule] = [
     Rule("EliminateCrossJoinWithSingleRow",
          Pattern.node(L.Join).matching(lambda n: n.kind == "cross"),
          _eliminate_cross_join_single_row),
+    Rule("PushSemiJoinThroughInnerJoin",  # PredicatePushDown semi planning
+         Pattern.node(L.Join).matching(
+             lambda n: n.kind in ("semi", "anti"))
+         .with_child(Pattern.node(L.Join)),
+         _push_semi_through_inner_join),
     Rule("InlineProjections",  # iterative/rule/InlineProjections.java
          Pattern.node(L.Project).with_child(Pattern.node(L.Project)),
          _merge_projections),

@@ -361,6 +361,47 @@ def _flatten_inner(node: LogicalNode, rels, edges, residuals, catalog):
 
 
 def _greedy_join(rels, edges, catalog) -> LogicalNode:
+    """Greedy Operand Ordering (GOO): repeatedly merge the PAIR of
+    components whose join result is smallest (connected pairs first).
+    Unlike the previous single-chain greedy — which started from the
+    smallest relation and could only grow through its neighbors, forcing
+    q9 into nation→supplier→lineitem before any selective join — GOO
+    builds bushy trees, so lineitem⋈(filtered part) fires first and the
+    whole downstream pipeline shrinks.  The exploration-free core of
+    ``iterative/rule/ReorderJoins.java``."""
+    comps = [(r, set(r.schema)) for r in rels]
+
+    def edges_between(sa, sb):
+        eq = []
+        for a, b in edges:
+            ra, rb = _refs(a), _refs(b)
+            if ra <= sa and rb <= sb:
+                eq.append((a, b))
+            elif rb <= sa and ra <= sb:
+                eq.append((b, a))
+        return eq
+
+    while len(comps) > 1:
+        best = None
+        for i in range(len(comps)):
+            for j in range(i + 1, len(comps)):
+                eq = edges_between(comps[i][1], comps[j][1])
+                kind = "inner" if eq else "cross"
+                est = _estimate(
+                    Join(comps[i][0], comps[j][0], kind, eq, None), catalog)
+                score = (0 if eq else 1, est)
+                if best is None or score < best[0]:
+                    best = (score, i, j, eq)
+        _, i, j, eq = best
+        kind = "inner" if eq else "cross"
+        tree = Join(comps[i][0], comps[j][0], kind, eq, None)
+        schema = comps[i][1] | comps[j][1]
+        comps = [c for k, c in enumerate(comps) if k not in (i, j)]
+        comps.append((tree, schema))
+    return comps[0][0]
+
+
+def _greedy_join_chain(rels, edges, catalog) -> LogicalNode:
     remaining = list(range(len(rels)))
     est = [_estimate(r, catalog) for r in rels]
     schemas = [set(r.schema) for r in rels]

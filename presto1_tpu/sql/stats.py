@@ -197,7 +197,7 @@ def _derive(node: L.LogicalNode, catalog, memo) -> PlanStats:
             # over-divide by orders of magnitude (JoinStatsRule caps the
             # same way via row counts).
             prod_l = prod_r = 1.0
-            known = False
+            known = known_r = False
             for a, b in node.equis:
                 la = lt.col(a.name) if isinstance(a, ir.ColumnRef) else None
                 rb = rt.col(b.name) if isinstance(b, ir.ColumnRef) else None
@@ -206,12 +206,42 @@ def _derive(node: L.LogicalNode, catalog, memo) -> PlanStats:
                     known = True
                 if rb is not None and rb.ndv is not None:
                     prod_r *= max(rb.ndv, 1.0)
-                    known = True
-            if known:
+                    known = known_r = True
+            # a build side UNIQUE on its join keys makes the join N:1 —
+            # each probe row matches at most once, and the match fraction
+            # is |R| / NDV_R(keys) (1.0 when R is the unfiltered key
+            # domain).  The generic max(NDV_L, NDV_R) formula instead
+            # divides by the probe side's composite-NDV estimate, which
+            # the row-count cap OVERSTATES on correlated FK composites
+            # (q9's (l_suppkey, l_partkey): capped at |lineitem|, truth
+            # ~|partsupp|) — underestimating N:1 joins 8x and misordering
+            # them ahead of genuinely selective ones.
+            unique = node.build_unique
+            if not unique:
+                build_syms = frozenset(
+                    b.name for _, b in node.equis
+                    if isinstance(b, ir.ColumnRef))
+                if build_syms:
+                    from .optimizer import _unique_keysets
+
+                    unique = any(k <= build_syms
+                                 for k in _unique_keysets(node.right,
+                                                          catalog))
+            if unique:
+                # match fraction = surviving share of the build's key
+                # domain; keys are unique, so the pre-filter relation's
+                # row count IS the domain size
+                base = node.right
+                while isinstance(base, (L.Filter, L.Project, L.Limit)):
+                    base = base.children[0]
+                base_rows = derive(base, catalog, memo).rows
+                rows = lt.rows * min(
+                    1.0, rt.rows / max(base_rows, rt.rows, 1.0))
+            elif known:
                 denom = max(min(prod_l, max(lt.rows, 1.0)),
                             min(prod_r, max(rt.rows, 1.0)), 1.0)
                 rows = lt.rows * rt.rows / denom
-            elif node.build_unique:
+            elif unique:
                 rows = lt.rows
             else:
                 rows = max(lt.rows, rt.rows)
