@@ -108,7 +108,12 @@ def main():
     sf = float(os.environ.get("BENCH_SF", "1.0"))
     qids = [int(q) for q in
             os.environ.get("BENCH_QUERIES", "1,3,6").split(",")]
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    # steady-state reps: each dispatch through the remote-device tunnel
+    # carries ~8-10 ms of fixed residual that swamps sub-20 ms queries
+    # (q6 pure compute is ~4 ms); 20 back-to-back dispatches with one
+    # readback barrier amortise it away — the same warm-iteration policy
+    # as the reference harness (AbstractOperatorBenchmark warmup+runs)
+    reps = int(os.environ.get("BENCH_REPS", "20"))
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
 
     catalog = TpchCatalog(sf=sf)

@@ -1235,6 +1235,13 @@ class CompiledQuery:
             discoverer.capture_paths = set(roots)
             discoverer.execute(plan)
         self.record = discoverer.record
+        # fragment-boundary capacities from discovery: a selective
+        # operator's compiled output otherwise keeps its INPUT-sized
+        # buffers (no _shrink under jit), and every downstream fragment
+        # pays the oversize — q9's partsupp join ran 6.29M-capacity
+        # sorts/gathers over 327k live rows (16x) until outputs were
+        # sliced to the discovered boundary size here
+        self._caps = {r: discoverer.captured[r].capacity() for r in roots}
         # scan inputs must come from the REAL catalog (default-device
         # arrays), never the CPU discovery proxy: proxy arrays are
         # host-committed, and feeding them to the compiled program would
@@ -1292,6 +1299,29 @@ class CompiledQuery:
                                   scan_arrays=scan_arrays, stubs=stubs,
                                   guard_ranges=bool(self.external))
                     out = ex.execute(node, path=root)
+                    # fragment-boundary shrink to the discovered capacity
+                    # (live rows are a prefix); growth past it trips the
+                    # overflow guard instead of silently truncating
+                    cap = self._caps[root]
+                    if cap < out.capacity():
+                        ex.overflow_checks.append(out.num_rows <= cap)
+                        cols = {
+                            n: c.with_data(
+                                c.data[:cap],
+                                c.validity[:cap]
+                                if c.validity is not None else None)
+                            for n, c in out.columns.items()
+                        }
+                        for n, c in out.columns.items():
+                            if c.lengths is not None:
+                                from dataclasses import replace as _rp
+
+                                cols[n] = _rp(
+                                    cols[n], lengths=c.lengths[:cap],
+                                    map_values=None
+                                    if c.map_values is None
+                                    else c.map_values[:cap])
+                        out = RecordBatch(cols, out.num_rows)
                     data = {n: c.data for n, c in out.columns.items()}
                     validity = {n: c.validity
                                 for n, c in out.columns.items()
