@@ -352,13 +352,30 @@ class Engine:
         stats.wall_s = time.time() - t0
         return stats.render(plan)
 
-    def compile(self, sql: str, user: Optional[str] = None):
+    def compile(self, sql: str, user: Optional[str] = None,
+                sample: object = "auto"):
         """Compile the whole query pipeline into one jitted XLA program
-        (runs one eager discovery pass to fix buffer capacities)."""
+        (runs one eager discovery pass to fix buffer capacities).
+
+        ``sample``: ``"auto"`` (default) prefix-samples the dominant
+        table during discovery when it is large enough to matter
+        (``exec/sampling.py`` — sublinear discovery, the SF10+ gate);
+        ``None``/``False`` forces full-data discovery; an explicit
+        ``{table: k}`` dict samples those tables at 1/k.  Disable
+        globally with ``P1_DISCOVERY_SAMPLE=0``."""
+        import os
+
         from .executor import CompiledQuery
 
         plan = self.plan(sql, user=user)
-        cq = CompiledQuery(self.catalog, plan)
+        if sample == "auto":
+            if os.environ.get("P1_DISCOVERY_SAMPLE", "auto") in ("0", "off"):
+                sample = None
+            else:
+                from .sampling import choose_sample
+
+                sample = choose_sample(self.catalog, plan)
+        cq = CompiledQuery(self.catalog, plan, sample=sample or None)
         cq.scan_tables = self.scan_tables(plan)
         return cq
 

@@ -677,6 +677,7 @@ class Executor:
                                 build_sorted=build_sorted)
             if not self.compiled:
                 rec["capacity"] = max(cap, rec.get("capacity", 0))
+            self._check_capacity(out.num_rows, cap)
             out = self._drop_temp(out)
             return self._shrink(out)
 
@@ -1202,15 +1203,25 @@ class CompiledQuery:
 
     def __init__(self, catalog, plan: LogicalNode,
                  granularity: str = "fragment",
-                 stubs: Optional[Dict[Path, RecordBatch]] = None):
+                 stubs: Optional[Dict[Path, RecordBatch]] = None,
+                 sample: Optional[Dict[str, int]] = None,
+                 sample_margin: Optional[float] = None):
         """``stubs`` makes this a compiled FRAGMENT: the given paths are
         external inputs (remote-exchange sources on a worker) whose
         batches are supplied per run via ``__call__(stubs=...)``.  Shapes
         and dictionaries must match the discovery-time batches — the
-        worker's program cache keys on exactly that signature."""
+        worker's program cache keys on exactly that signature.
+
+        ``sample`` ({table: k}) runs discovery on a 1/k PREFIX of the
+        named tables and extrapolates the recorded capacities/ranges
+        (``exec/sampling.py``) — sublinear discovery for SF10+ where the
+        eager full-data replay was the scalability wall.  Sampled
+        programs run fully guarded: growth past any extrapolated value
+        raises ExecError instead of silently truncating."""
         self.catalog = catalog
         self.plan = plan
         self.external = dict(stubs or {})
+        self.sample = dict(sample) if sample else None
 
         roots = sorted(set(_fragment_roots(plan)), key=len, reverse=True) \
             if granularity == "fragment" else [()]
@@ -1223,18 +1234,28 @@ class CompiledQuery:
         # not device-dependent, and CPU compiles are ~100x faster
         from ..ops.common import backend_override
 
+        disc_base = catalog
+        if self.sample:
+            from .sampling import sampled_catalog_view
+
+            disc_base = sampled_catalog_view(catalog, self.sample)
         cpu_devs = [d for d in jax.devices("cpu")] if _has_cpu() else []
         if jax.default_backend() != "cpu" and cpu_devs:
-            disc_catalog = _CpuCatalogProxy(catalog, cpu_devs[0])
+            disc_catalog = _CpuCatalogProxy(disc_base, cpu_devs[0])
             with backend_override("cpu"), jax.default_device(cpu_devs[0]):
                 discoverer = Executor(disc_catalog, stubs=self.external)
                 discoverer.capture_paths = set(roots)
                 discoverer.execute(plan)
         else:
-            discoverer = Executor(catalog, stubs=self.external)
+            discoverer = Executor(disc_base, stubs=self.external)
             discoverer.capture_paths = set(roots)
             discoverer.execute(plan)
         self.record = discoverer.record
+        if self.sample:
+            from .sampling import DEFAULT_MARGIN, rewrite_record
+
+            rewrite_record(plan, self.record, self.sample, catalog,
+                           margin=sample_margin or DEFAULT_MARGIN)
         # fragment-boundary capacities from discovery: a selective
         # operator's compiled output otherwise keeps its INPUT-sized
         # buffers (no _shrink under jit), and every downstream fragment
@@ -1242,6 +1263,12 @@ class CompiledQuery:
         # sorts/gathers over 327k live rows (16x) until outputs were
         # sliced to the discovered boundary size here
         self._caps = {r: discoverer.captured[r].capacity() for r in roots}
+        if self.sample:
+            from .sampling import DEFAULT_MARGIN, scaled_boundary_caps
+
+            self._caps = scaled_boundary_caps(
+                plan, self._caps, self.sample,
+                margin=sample_margin or DEFAULT_MARGIN)
         # scan inputs must come from the REAL catalog (default-device
         # arrays), never the CPU discovery proxy: proxy arrays are
         # host-committed, and feeding them to the compiled program would
@@ -1297,7 +1324,8 @@ class CompiledQuery:
                     ex = Executor(self.catalog, compiled=True,
                                   record=self.record,
                                   scan_arrays=scan_arrays, stubs=stubs,
-                                  guard_ranges=bool(self.external))
+                                  guard_ranges=bool(self.external)
+                                  or bool(self.sample))
                     out = ex.execute(node, path=root)
                     # fragment-boundary shrink to the discovered capacity
                     # (live rows are a prefix); growth past it trips the
@@ -1401,6 +1429,10 @@ class CompiledQuery:
         for _ in range(reps):
             data, validity, num_rows, oks = self._run()
         jax.block_until_ready(data)
+        if not all(bool(o) for o in oks):
+            raise ExecError(
+                "compiled-plan buffer overflow: data outgrew the "
+                "discovery-time capacities — re-run Engine.compile()")
         if not isinstance(num_rows, int):
             num_rows = int(num_rows)
         return num_rows
