@@ -41,7 +41,8 @@ def make_mesh(n_devices: int, axis: str = "d") -> Mesh:
 # ranges, capacities, residual fingerprint) — so repeated queries reuse
 # their XLA programs, the same hotspot policy the DCN workers apply
 # (server/worker.py _try_compiled).
-_STAGE_PROGRAMS: dict = {}
+_STAGE_PROGRAMS_CAP = int(__import__("os").environ.get(
+    "P1_STAGE_PROGRAM_CACHE", "256"))
 
 
 def mesh_signature(mesh: Mesh) -> tuple:
@@ -65,12 +66,26 @@ def residual_signature(residual) -> str:
         expr_to_json(residual), sort_keys=True).encode()).hexdigest()
 
 
+from collections import OrderedDict
+
+_STAGE_PROGRAMS = OrderedDict()
+
+
 def cached_program(key: tuple, builder):
-    """Return the jitted program for ``key``, building it once."""
+    """Return the jitted program for ``key``, building it once.
+
+    LRU-bounded (``P1_STAGE_PROGRAM_CACHE``, default 256): a long-lived
+    coordinator running varied queries over growing data would otherwise
+    accumulate XLA executables (and their device buffers) forever —
+    mirrors the eviction the DCN workers apply to ``_frag_cache``."""
     fn = _STAGE_PROGRAMS.get(key)
     if fn is None:
         fn = builder()
         _STAGE_PROGRAMS[key] = fn
+        while len(_STAGE_PROGRAMS) > _STAGE_PROGRAMS_CAP:
+            _STAGE_PROGRAMS.popitem(last=False)
+    else:
+        _STAGE_PROGRAMS.move_to_end(key)
     return fn
 
 

@@ -276,29 +276,18 @@ def _fetch_sources_concurrent(sources: dict) -> tuple:
         path = tuple(int(x) for x in path_str.split(",") if x != "")
         for i, loc in enumerate(locations):
             jobs.append((path, i, loc))
+    # a bounded pool, not thread-per-buffer: a wide fan-in (hundreds of
+    # upstream tasks) must not create hundreds of OS threads
+    from concurrent.futures import ThreadPoolExecutor
+
     results: dict = {}
-    errors: list = []
-    lock = threading.Lock()
-    sem = threading.Semaphore(_FETCH_PARALLELISM)
-
-    def run(path, i, loc):
-        try:
-            with sem:
-                batches, nbytes = _fetch_location(loc)
-            with lock:
-                results[(path, i)] = (batches, nbytes)
-        except Exception as e:  # noqa: BLE001 — surfaced below
-            with lock:
-                errors.append(e)
-
-    threads = [threading.Thread(target=run, args=j, daemon=True)
-               for j in jobs]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    if errors:
-        raise errors[0]
+    with ThreadPoolExecutor(
+            max_workers=min(_FETCH_PARALLELISM, max(len(jobs), 1)),
+            thread_name_prefix="exchange-fetch") as pool:
+        futures = {pool.submit(_fetch_location, loc): (path, i)
+                   for path, i, loc in jobs}
+        for fut, key in futures.items():
+            results[key] = fut.result()
     stubs = {}
     total_bytes = 0
     for path_str, locations in sources.items():

@@ -232,16 +232,19 @@ def _wrap(node: LogicalNode, conjuncts: List[ir.Expr]) -> LogicalNode:
 # ---------------------------------------------------------------- reorder
 
 
-def _estimate(node: LogicalNode, catalog) -> float:
+def _estimate(node: LogicalNode, catalog, memo=None) -> float:
     """Cardinality estimate driving join order and distribution choice.
 
     Backed by the NDV/min-max/selectivity derivation in ``sql/stats.py``
     (the cost/FilterStatsCalculator + JoinStatsRule analog); columns
     without connector statistics fall back to the fixed coefficients the
-    pre-stats heuristic used."""
+    pre-stats heuristic used.  ``memo`` (node-id keyed) lets a caller
+    amortise subtree derivations across many candidate plans — GOO
+    evaluates O(k^2) pair joins per round over the SAME components, so
+    per-component stats must derive once, not per candidate."""
     from .stats import derive
 
-    return derive(node, catalog).rows
+    return derive(node, catalog, memo).rows
 
 
 def _unique_keysets(node: LogicalNode, catalog) -> Set[frozenset]:
@@ -370,6 +373,13 @@ def _greedy_join(rels, edges, catalog) -> LogicalNode:
     whole downstream pipeline shrinks.  The exploration-free core of
     ``iterative/rule/ReorderJoins.java``."""
     comps = [(r, set(r.schema)) for r in rels]
+    # shared stats memo: component subtrees are stable objects across the
+    # whole merge loop, so each derives once (ADVICE r4: the unmemoized
+    # loop re-derived full subtrees O(k^3) times on wide FROM lists)
+    memo: dict = {}
+    # the memo keys on id(node): keep every candidate Join alive for the
+    # loop's duration so a freed id can't be recycled onto a new node
+    keep_alive: list = []
 
     def edges_between(sa, sb):
         eq = []
@@ -387,8 +397,9 @@ def _greedy_join(rels, edges, catalog) -> LogicalNode:
             for j in range(i + 1, len(comps)):
                 eq = edges_between(comps[i][1], comps[j][1])
                 kind = "inner" if eq else "cross"
-                est = _estimate(
-                    Join(comps[i][0], comps[j][0], kind, eq, None), catalog)
+                cand = Join(comps[i][0], comps[j][0], kind, eq, None)
+                keep_alive.append(cand)
+                est = _estimate(cand, catalog, memo)
                 score = (0 if eq else 1, est)
                 if best is None or score < best[0]:
                     best = (score, i, j, eq)

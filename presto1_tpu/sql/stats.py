@@ -197,7 +197,7 @@ def _derive(node: L.LogicalNode, catalog, memo) -> PlanStats:
             # over-divide by orders of magnitude (JoinStatsRule caps the
             # same way via row counts).
             prod_l = prod_r = 1.0
-            known = known_r = False
+            known = False
             for a, b in node.equis:
                 la = lt.col(a.name) if isinstance(a, ir.ColumnRef) else None
                 rb = rt.col(b.name) if isinstance(b, ir.ColumnRef) else None
@@ -206,7 +206,7 @@ def _derive(node: L.LogicalNode, catalog, memo) -> PlanStats:
                     known = True
                 if rb is not None and rb.ndv is not None:
                     prod_r *= max(rb.ndv, 1.0)
-                    known = known_r = True
+                    known = True
             # a build side UNIQUE on its join keys makes the join N:1 —
             # each probe row matches at most once, and the match fraction
             # is |R| / NDV_R(keys) (1.0 when R is the unfiltered key
@@ -241,8 +241,6 @@ def _derive(node: L.LogicalNode, catalog, memo) -> PlanStats:
                 denom = max(min(prod_l, max(lt.rows, 1.0)),
                             min(prod_r, max(rt.rows, 1.0)), 1.0)
                 rows = lt.rows * rt.rows / denom
-            elif unique:
-                rows = lt.rows
             else:
                 rows = max(lt.rows, rt.rows)
             if node.kind == "semi":
