@@ -219,6 +219,28 @@ class Executor:
             if node.kind == "full":
                 return None
             c = ch(0)
+            if c is None and isinstance(node.left, Filter):
+                # probe Filter fused into the join mask: the Filter node
+                # never executed, but order flows through unchanged
+                c = self.chains.get(path + (0, 0))
+            if rec.get("merge_join"):
+                # the merge-sort join emits rows in JOIN-KEY order
+                # (lexicographic over the packed key columns), with probe
+                # order within equal-key runs — a downstream aggregation
+                # on the key takes the clustered, sort-free path
+                front = []
+                for a, b in node.equis:
+                    pos = set()
+                    if isinstance(a, ir.ColumnRef):
+                        pos.add(a.name)
+                    if node.kind == "inner" and isinstance(b, ir.ColumnRef):
+                        pos.add(b.name)
+                    if not pos:
+                        front = None
+                        break
+                    front.append(pos)
+                c = None if front is None else front + (c or [])
+                return O.restrict_chain(c, node.schema)
             if node.kind == "inner" and node.equis:
                 c = O.add_equivalences(c, node.equis)
             return O.restrict_chain(c, node.schema)
@@ -495,26 +517,19 @@ class Executor:
                                     rec.get("max_groups", 0))
         return self._shrink(out)
 
-    def _dynamic_filter(self, rec: dict, lb: RecordBatch, rb: RecordBatch,
-                        lkeys, rkeys) -> RecordBatch:
-        """Compact the probe to rows whose keys fall inside the build-side
-        [min, max] domain.  Eager mode decides per join whether the
-        reduction pays for the compaction (recorded for compiled replay)."""
+    def _dynamic_filter(self, lb: RecordBatch, rb: RecordBatch,
+                        lkeys, rkeys, probe_mask):
+        """Build-side [min, max] key-domain mask over the probe, ANDed
+        into the join's probe mask (``server/DynamicFilterService.java:95``
+        min/max push-down analog).  Always a MASK, never a standalone
+        compaction: masked rows pack to the key sentinel and fall out of
+        the compaction the join already pays, so applying the domain
+        costs two reductions and a compare — cheaper than any pays-off
+        heuristic it previously gated on."""
         eligible = [(lk, rk) for lk, rk in zip(lkeys, rkeys)
                     if not lb[lk].type.is_string]
         if not eligible or not self.dynamic_filtering:
-            return lb
-        if self.compiled and not rec.get("df"):
-            return lb
-        if not self.compiled:
-            n_probe = int(lb.num_rows)
-            if "df" in rec and not rec["df"]:
-                return lb  # sticky decision across eager re-runs
-            if "df" not in rec and n_probe < 8192:
-                rec["df"] = False  # too small for compaction to pay off
-                return lb
-        from ..ops.filter import compact
-
+            return probe_mask
         n = lb.capacity()
         mask = jnp.arange(n) < lb.num_rows
         blive_base = jnp.arange(rb.capacity()) < rb.num_rows
@@ -537,23 +552,24 @@ class Executor:
             if pc.validity is not None:
                 pm = pm & pc.validity
             mask = mask & pm
-        if self.compiled:
-            cap = rec["df_capacity"]
-            out = compact(lb, mask, cap)
-            self._check_capacity(out.num_rows, cap)
-            return out
-        kept = int(jnp.sum(mask))
-        if "df" not in rec:
-            rec["df"] = kept < 0.75 * max(n_probe, 1)
-        if not rec["df"]:
-            return lb
-        out = compact(lb, mask)
-        out = self._shrink(out)
-        rec["df_capacity"] = max(out.capacity(), rec.get("df_capacity", 0))
-        return out
+        return mask if probe_mask is None else (probe_mask & mask)
 
     def _x_Join(self, node: Join, path: Path) -> RecordBatch:
-        left = self.execute(node.left, path + (0,))
+        # fuse an immediate probe-side Filter into a join mask (same
+        # pattern as Aggregate): the mask packs dead rows to the key
+        # sentinel, so the standalone filter-compaction sort and its full
+        # payload move disappear — the join's own compaction drops them.
+        # inner/semi/anti only (LEFT/FULL emit non-matching probe rows, so
+        # rows a below-join filter removed would wrongly resurface).
+        probe_mask = None
+        if (isinstance(node.left, Filter) and path + (0,) not in self.stubs
+                and node.kind in ("inner", "semi", "anti") and node.equis):
+            below = self.execute(node.left.child, path + (0, 0))
+            probe_mask = filter_mask(
+                self._bind(node.left.predicate, below), below)
+            left = below
+        else:
+            left = self.execute(node.left, path + (0,))
         right = self.execute(node.right, path + (1,))
         rec = self._rec(path)
 
@@ -562,6 +578,11 @@ class Executor:
             from .memory import batch_bytes
 
             if batch_bytes(left) + batch_bytes(right) > self.spill_threshold:
+                if probe_mask is not None:
+                    from ..ops.filter import compact
+
+                    left = self._shrink(compact(left, probe_mask))
+                    probe_mask = None
                 return self._grace_join(node, path, left, right)
 
         if node.kind == "cross":
@@ -609,7 +630,8 @@ class Executor:
         # with bounds as traced device values, so compiled replays keep the
         # exact same program shape.
         if node.kind in ("inner", "semi"):
-            lb = self._dynamic_filter(rec, lb, rb, lkeys, rkeys)
+            probe_mask = self._dynamic_filter(lb, rb, lkeys, rkeys,
+                                              probe_mask)
 
         if self.compiled:
             ranges = rec["ranges"]
@@ -650,22 +672,36 @@ class Executor:
             merged = RecordBatch({**lb.columns, **rb.columns}, 0)
             residual = self._bind(node.residual, merged)
 
+        from ..ops.join import merge_join_applicable
+
+        if not self.compiled:
+            rec["merge_join"] = merge_join_applicable(
+                node.kind, ranges, residual,
+                node.build_unique if node.kind == "inner" else False)
+            # eager capacity guesses start from the FUSED-mask row count:
+            # the probe batch itself is unfiltered when a Filter fused in
+            rec["probe_rows"] = int(jnp.sum(probe_mask)) \
+                if probe_mask is not None else int(lb.num_rows)
+        probe_rows = rec.get("probe_rows", 0)
+
         if node.kind in ("semi", "anti"):
-            cap = round_capacity(max(int(lb.num_rows), 1)) \
+            cap = round_capacity(max(probe_rows, 1)) \
                 if not self.compiled else rec["capacity"]
             if residual is not None:
                 if self.compiled:
                     out = hash_join(lb, rb, lkeys, rkeys, node.kind, ranges,
                                     rec["pairs_capacity"], residual=residual,
-                                    build_sorted=build_sorted)
+                                    build_sorted=build_sorted,
+                                    probe_mask=probe_mask)
                 else:
-                    cap_pairs = round_capacity(max(int(lb.num_rows) * 4, 128))
+                    cap_pairs = round_capacity(max(probe_rows * 4, 128))
                     while True:
                         stats: Dict[str, object] = {}
                         out = hash_join(lb, rb, lkeys, rkeys, node.kind,
                                         ranges, cap_pairs, residual=residual,
                                         stats=stats,
-                                        build_sorted=build_sorted)
+                                        build_sorted=build_sorted,
+                                        probe_mask=probe_mask)
                         pairs_total = int(stats["pairs_total"])  # type: ignore[arg-type]
                         if pairs_total <= cap_pairs:
                             break
@@ -674,9 +710,16 @@ class Executor:
                         cap_pairs, rec.get("pairs_capacity", 0))
             else:
                 out = hash_join(lb, rb, lkeys, rkeys, node.kind, ranges, cap,
-                                build_sorted=build_sorted)
+                                build_sorted=build_sorted,
+                                probe_mask=probe_mask)
             if not self.compiled:
-                rec["capacity"] = max(cap, rec.get("capacity", 0))
+                # the merge path's payload moves by GATHER at [capacity]
+                # (latency-bound: capacity directly scales the join cost)
+                # — record the TIGHT discovered output count, not the
+                # probe-sized upper bound; growth trips the traced guard
+                tight = round_capacity(max(int(out.num_rows), 1)) \
+                    if rec.get("merge_join") else cap
+                rec["capacity"] = max(tight, rec.get("capacity", 0))
             self._check_capacity(out.num_rows, cap)
             out = self._drop_temp(out)
             return self._shrink(out)
@@ -692,7 +735,8 @@ class Executor:
             out = hash_join(lb, rb, lkeys, rkeys, node.kind, ranges, cap,
                             residual=residual, stats=stats,
                             build_unique=node.build_unique,
-                            build_sorted=build_sorted)
+                            build_sorted=build_sorted,
+                            probe_mask=probe_mask)
             self._check_capacity(out.num_rows, cap)
             if residual is not None and "pairs_total" in stats:
                 # a residual join compacts AFTER expansion: the pair buffer
@@ -700,22 +744,28 @@ class Executor:
                 self._check_capacity(stats["pairs_total"], cap)
         else:
             if node.build_unique:
-                cap = round_capacity(max(int(lb.num_rows), 1))
+                cap = round_capacity(max(probe_rows, 1))
             else:
-                cap = round_capacity(max(int(lb.num_rows) * 2, 128))
+                cap = round_capacity(max(probe_rows * 2, 128))
             while True:
                 stats = {}
                 out = hash_join(lb, rb, lkeys, rkeys, node.kind, ranges, cap,
                                 residual=residual, stats=stats,
                                 build_unique=node.build_unique,
-                                build_sorted=build_sorted)
+                                build_sorted=build_sorted,
+                                probe_mask=probe_mask)
                 total = int(out.num_rows)
                 if "pairs_total" in stats:
                     total = max(total, int(stats["pairs_total"]))  # type: ignore[arg-type]
                 if total <= cap:
                     break
                 cap = round_capacity(total)
-            rec["capacity"] = max(cap, rec.get("capacity", 0))
+            # merge-path inner joins gather payload at [capacity]: record
+            # the tight output count (see the semi/anti note above); the
+            # classic paths keep the pair-buffer-sized capacity
+            tight = round_capacity(max(int(out.num_rows), 1)) \
+                if rec.get("merge_join") else cap
+            rec["capacity"] = max(tight, rec.get("capacity", 0))
         out = self._drop_temp(out)
         return self._shrink(out)
 
@@ -852,7 +902,14 @@ class Executor:
             lkeys.append(ln)
             rkeys.append(rn)
         if node.kind in ("inner", "semi"):
-            lb = self._dynamic_filter(rec, lb, rb, lkeys, rkeys)
+            # spill mode: apply the domain as a compaction (memory is the
+            # constraint here, and compaction shrinks the partitions)
+            m = self._dynamic_filter(lb, rb, lkeys, rkeys, None)
+            if m is not None and int(jnp.sum(m)) < 0.75 * max(
+                    int(lb.num_rows), 1):
+                from ..ops.filter import compact
+
+                lb = self._shrink(compact(lb, m))
         lr = key_ranges([lb[k] for k in lkeys], lb.num_rows)
         rr = key_ranges([rb[k] for k in rkeys], rb.num_rows)
         ranges = [(min(a[0], b[0]), max(a[1], b[1]))

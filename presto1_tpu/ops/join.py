@@ -36,8 +36,127 @@ from .common import (
 from .segments import compact_indices, sorted_segment_sum
 
 
+def _key_widths(ranges) -> int:
+    widths = 0
+    for lo_, hi_ in ranges:
+        widths += max(int(hi_ - lo_ + 2).bit_length(), 1)
+    return widths
+
+
+def merge_join_applicable(kind: str, ranges, residual,
+                          build_unique: bool) -> bool:
+    """True when the single-merge-sort join formulation applies: narrow
+    (packable) keys, no residual, and either an N:1 inner join or a
+    semi/anti join (any build cardinality).  The decision depends only on
+    plan-static facts, so eager discovery and compiled replay always
+    agree."""
+    if residual is not None or _key_widths(ranges) > 63:
+        return False
+    return kind in ("semi", "anti") or (kind == "inner" and build_unique)
+
+
+def merge_join(
+    probe: RecordBatch,
+    build: RecordBatch,
+    probe_keys: Sequence[str],
+    build_keys: Sequence[str],
+    kind: str,  # 'inner' (build-unique) | 'semi' | 'anti'
+    ranges: Sequence[Tuple[int, int]],
+    capacity: int,
+    probe_mask=None,
+) -> RecordBatch:
+    """Equi-join as ONE stable merge sort + ONE compaction sort.
+
+    The classic path costs four big sorts per joined-and-filtered probe
+    (upstream filter compaction, the two co-sorting searchsorted passes,
+    pair compaction) and moves the probe payload twice.  Here the packed
+    build and probe keys sort TOGETHER once (stable, build entries first
+    within equal keys); match structure then falls out of dense scans:
+
+    * ``cumsum(is_build)-1`` counts build entries seen — and because keys
+      ascend, ``cummax`` carries the key and origin of the most recent
+      build entry to every probe entry (Trino's per-row hash lookup —
+      ``operator/PagesHash.java:157`` — becomes two prefix scans);
+    * an upstream Filter fuses as ``probe_mask``: dead rows pack to the
+      sentinel, sort to the end, and fall out of the one compaction the
+      join already pays — the standalone filter-compaction sort (and its
+      full payload move) disappears;
+    * the second (compaction) sort keys on ~keep only, so surviving rows
+      stay in KEY order: the output is sorted by the join key, which the
+      executor records in the order chains (downstream aggregations on
+      the same key take the clustered, sort-free path).
+
+    Payload never rides a sort: both sorts carry two int32 bookkeeping
+    operands; survivors gather once at [capacity] via the width-class
+    packed gathers.
+    """
+    np_, nb = probe.capacity(), build.capacity()
+    total = np_ + nb
+    assert total < (1 << 31), "merge_join addresses rows in int32"
+    widths = _key_widths(ranges)
+    bcols = [build[k] for k in build_keys]
+    pcols = [probe[k] for k in probe_keys]
+    bk = pack_key_words(bcols, ranges, build.num_rows, null_high=True)[0]
+    pk = pack_key_words(pcols, ranges, probe.num_rows, mask=probe_mask)[0]
+    bk = narrow_i32(bk, widths)
+    pk = narrow_i32(pk, widths)
+
+    key = jnp.concatenate([bk, pk])
+    origin = jnp.concatenate(
+        [jnp.arange(nb, dtype=jnp.int32),
+         jnp.arange(np_, dtype=jnp.int32) + nb])
+    s_key, s_origin = jax.lax.sort((key, origin), num_keys=1,
+                                   is_stable=True)
+    is_build = s_origin < nb
+    sentinel = jnp.asarray(
+        INT64_MAX if s_key.dtype == jnp.int64 else np.iinfo(np.int32).max,
+        s_key.dtype)
+    kmin = jnp.asarray(
+        np.iinfo(np.int64).min if s_key.dtype == jnp.int64
+        else np.iinfo(np.int32).min, s_key.dtype)
+    # key of the most recent build entry: cummax is exact because s_key
+    # ascends, so the latest build key is also the largest so far
+    last_bkey = jax.lax.cummax(jnp.where(is_build, s_key, kmin))
+    # origin of the most recent build entry: pack (position, origin) into
+    # one int64 — position ascends, so cummax carries the latest pair
+    t64 = jnp.arange(total, dtype=jnp.int64)
+    packed = jnp.where(is_build,
+                       (t64 << 32) | s_origin.astype(jnp.int64),
+                       jnp.asarray(-1, jnp.int64))
+    m = jax.lax.cummax(packed)
+    borigin = (m & 0x7FFFFFFF).astype(jnp.int32)
+    is_probe = ~is_build
+    real = s_key != sentinel
+    matched = is_probe & real & (m >= 0) & (last_bkey == s_key)
+    if kind == "anti":
+        keep = is_probe & real & ~matched
+    else:
+        keep = matched
+    count = jnp.sum(keep.astype(jnp.int64))
+    srt = jax.lax.sort(((~keep).astype(jnp.int8), s_origin, borigin),
+                       num_keys=1, is_stable=True)
+
+    def fit(arr):  # [total] -> [capacity] (mesh shards size the output
+        #             buffer independently of the local input sizes)
+        if capacity <= total:
+            return arr[:capacity]
+        return jnp.concatenate(
+            [arr, jnp.zeros((capacity - total,), arr.dtype)])
+
+    pidx = jnp.clip(fit(srt[1]) - nb, 0, max(np_ - 1, 0))
+    out_live = iota(capacity) < count
+
+    from ..batch import gather_columns
+
+    cols = gather_columns(probe.columns, pidx)
+    if kind == "inner":
+        bidx = jnp.clip(fit(srt[2]), 0, max(nb - 1, 0))
+        cols.update(gather_columns(build.columns, bidx, valid=out_live))
+    return RecordBatch(cols, count)
+
+
 def _probe_ranges(probe, build, probe_keys, build_keys, ranges,
-                  build_sorted: bool = False):
+                  build_sorted: bool = False, probe_mask=None):
     """Returns (lo, counts, bperm, live, needs_verify).  Wide composite
     keys (>63 bits) fall back to a 62-bit mix whose candidate matches the
     caller verifies against the real key columns.
@@ -50,18 +169,17 @@ def _probe_ranges(probe, build, probe_keys, build_keys, ranges,
     np_, nb = probe.capacity(), build.capacity()
     bcols = [build[k] for k in build_keys]
     pcols = [probe[k] for k in probe_keys]
-    widths = 0
-    for lo_, hi_ in ranges:
-        widths += max(int(hi_ - lo_ + 2).bit_length(), 1)
+    widths = _key_widths(ranges)
     if widths <= 63:
         bk = pack_key_words(bcols, ranges, build.num_rows, null_high=True)[0]
-        pk = pack_key_words(pcols, ranges, probe.num_rows)[0]
+        pk = pack_key_words(pcols, ranges, probe.num_rows,
+                            mask=probe_mask)[0]
         bk = narrow_i32(bk, widths)
         pk = narrow_i32(pk, widths)
         needs_verify = False
     else:
         bk = mix_key_word(bcols, ranges, build.num_rows, null_high=True)
-        pk = mix_key_word(pcols, ranges, probe.num_rows)
+        pk = mix_key_word(pcols, ranges, probe.num_rows, mask=probe_mask)
         needs_verify = True
     if build_sorted and not needs_verify:
         # build rows already ascending in the (single) key with live rows
@@ -74,6 +192,8 @@ def _probe_ranges(probe, build, probe_keys, build_keys, ranges,
     # int32 positions throughout: int64-indexed gathers are ~2x slower
     lo = searchsorted_fast(sorted_bk, pk, side="left").astype(jnp.int32)
     live = iota(np_) < probe.num_rows
+    if probe_mask is not None:
+        live = live & probe_mask
 
     # build run lengths: next_start[i] - i at each run start
     idx32 = jnp.arange(nb, dtype=jnp.int32)
@@ -164,39 +284,32 @@ def hash_join(
     stats: Optional[dict] = None,
     build_unique: bool = False,
     build_sorted: bool = False,
+    probe_mask=None,
 ) -> RecordBatch:
+    assert probe_mask is None or kind in ("inner", "semi", "anti"), \
+        "a fused probe mask would drop LEFT/FULL null-extended rows"
+    if merge_join_applicable(kind, ranges, residual, build_unique):
+        return merge_join(probe, build, probe_keys, build_keys, kind,
+                          ranges, capacity, probe_mask=probe_mask)
+
     lo, counts, bperm, live, needs_verify = _probe_ranges(
         probe, build, probe_keys, build_keys, ranges,
-        build_sorted=build_sorted)
+        build_sorted=build_sorted, probe_mask=probe_mask)
 
     if build_unique and residual is None and not needs_verify \
-            and kind in ("inner", "left"):
-        # N:1 fast path — a pure lookup, no prefix-sum expansion:
-        # every probe row has at most one match (PK build side)
+            and kind == "left":
+        # N:1 LEFT fast path — a pure in-place lookup, no expansion and
+        # no compaction: every probe row emits exactly one output row
+        # (matched rows null-extend nothing; inner-unique goes through
+        # merge_join above instead)
         from ..batch import gather_columns
 
         nb = build.capacity()
         matched = (counts > 0) & live
         bpos = jnp.take(bperm, jnp.clip(lo, 0, max(nb - 1, 0)), mode="clip")
-        if kind == "left":
-            cols = dict(probe.columns)
-            cols.update(gather_columns(build.columns, bpos, valid=matched))
-            return RecordBatch(cols, probe.num_rows)
-        # inner: compact matching probe rows with their build position as
-        # one extra payload column (single stable sort moves everything)
-        from ..types import BIGINT
-        from .filter import compact
-
-        tmp = RecordBatch(
-            {**probe.columns,
-             "__bpos": Column(bpos.astype(jnp.int64), BIGINT)},
-            probe.num_rows)
-        packed = compact(tmp, matched, capacity)
-        bpos_c = packed["__bpos"].data
-        out_live = iota(capacity) < packed.num_rows
-        cols = {n: c for n, c in packed.columns.items() if n != "__bpos"}
-        cols.update(gather_columns(build.columns, bpos_c, valid=out_live))
-        return RecordBatch(cols, packed.num_rows)
+        cols = dict(probe.columns)
+        cols.update(gather_columns(build.columns, bpos, valid=matched))
+        return RecordBatch(cols, probe.num_rows)
     np_ = probe.capacity()
     if needs_verify:
         from ..expr.ir import ColumnRef, call as ir_call

@@ -157,6 +157,23 @@ def _json_value(v):
     return v
 
 
+def _json_fallback(v):
+    """json.dumps ``default``: values outside the JSON domain become
+    text, exactly once, at the protocol boundary (date -> ISO-8601,
+    Decimal -> plain digits, bytes -> hex) — a DATE in a result row used
+    to kill the connection with no response."""
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return _json_value(v)
+
+
 _UI_PAGE = """<!doctype html>
 <html><head><title>presto1-tpu</title><style>
 body{font-family:monospace;margin:2em;background:#111;color:#ddd}
@@ -200,7 +217,11 @@ class CoordinatorServer:
                 pass
 
             def _send(self, code: int, payload: dict):
-                body = json.dumps(payload).encode()
+                # result values outside the JSON domain ride as strings,
+                # like the reference protocol's typed-text encoding
+                # (client/trino-client QueryResults renders dates and
+                # decimals as ISO/plain text): date, Decimal, bytes...
+                body = json.dumps(payload, default=_json_fallback).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))

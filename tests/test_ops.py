@@ -306,12 +306,15 @@ def test_dynamic_filter_engages_and_matches():
     assert int(out["c"][0]) == int(m.sum())
     assert int(out["s"][0]) == int(vv[m].sum())
 
-    # the join recorded a df compaction with a much smaller capacity
+    # the build-domain mask fused into the join: the eager capacity
+    # guess starts from the MASKED probe count (~20 in-domain rows of
+    # 20000), not the full probe size
     plan = engine.plan("select count(*) from fact, dim where fk = k")
     ex = Executor(catalog)
     ex.execute(plan)
-    recs = [r for r in ex.record.values() if "df" in r]
-    assert any(r["df"] and r["df_capacity"] <= 1024 for r in recs), recs
+    recs = [r for r in ex.record.values() if "probe_rows" in r]
+    assert any(r["probe_rows"] <= 256 and r.get("capacity", 1 << 30) <= 1024
+               for r in recs), recs
 
     # anti join keeps non-matching rows — df must NOT drop them
     out = engine.sql_pandas(
