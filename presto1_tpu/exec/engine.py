@@ -425,8 +425,9 @@ class Engine:
         from ..parallel.dist_join import (broadcast_hash_join,
                                           distributed_hash_join,
                                           exchange_quota, route_word)
-        from ..parallel.distributed import make_mesh
-        from ..sql.logical import Aggregate, Filter as LFilter, Join, Scan
+        from ..parallel.distributed import distributed_topn, make_mesh
+        from ..sql.logical import (Aggregate, Filter as LFilter, Join, Scan,
+                                   Sort as LSort)
 
         plan = self.plan(sql)
         n_dev = n_devices or len(jax.devices())
@@ -434,7 +435,7 @@ class Engine:
         stubs: dict = {}
         stages = {"mesh_stages": 0, "repartition_joins": 0,
                   "broadcast_joins": 0, "group_aggs": 0, "global_aggs": 0,
-                  "skew_joins": 0}
+                  "skew_joins": 0, "topn_sorts": 0}
 
         DECOMPOSABLE = ("sum", "count", "count_star", "min", "max", "avg")
 
@@ -463,6 +464,13 @@ class Engine:
             return all(a.fn in DECOMPOSABLE and not a.distinct
                        for a in node.aggs)
 
+        def sort_eligible(node):
+            # distributed TopN: bounded candidate set per shard; a full
+            # unbounded ORDER BY stays local on the mesh plane (the DCN
+            # plane's k-way merge covers that shape — exec/merge.py)
+            return (node.limit is not None
+                    and node.limit + node.offset <= 1 << 20)
+
         def find(node, path=()):
             """Deepest eligible distributable stage not yet stubbed."""
             for i, c in enumerate(node.children):
@@ -481,6 +489,9 @@ class Engine:
                              and heavy_free(node.child.child,
                                             path + (0, 0))))):
                 return "agg", path, node
+            if (isinstance(node, LSort) and sort_eligible(node)
+                    and heavy_free(node.child, path + (0,))):
+                return "sort", path, node
             return None
 
         def dicts_of(batch):
@@ -641,6 +652,25 @@ class Engine:
             stages["group_aggs"] += 1
             return RecordBatch(out.columns, int(out.num_rows))
 
+        def run_sort(node, path, ex):
+            below = ex.execute(node.child, path + (0,))
+            if int(below.num_rows) == 0:
+                return None  # empty input: local sort handles the edge
+            below2, knames = materialize_keys(
+                below, [e for e, _, _ in node.keys], "__sk")
+            out = distributed_topn(
+                mesh, below2, knames,
+                [(asc, nf) for _, asc, nf in node.keys],
+                node.limit + node.offset)
+            # the per-shard candidates (<= n_dev * k rows) feed the
+            # ORIGINAL Sort node locally: final order + offset/limit
+            cand = drop_temp(RecordBatch(out.columns, int(out.num_rows)),
+                             ("__sk",))
+            fin = Executor(self.catalog,
+                           stubs={path + (0,): cand}).execute(node, path)
+            stages["topn_sorts"] += 1
+            return RecordBatch(fin.columns, int(fin.num_rows))
+
         while True:
             found = find(plan)
             if not found:
@@ -648,7 +678,8 @@ class Engine:
             kind, path, node = found
             ex = Executor(self.catalog, stubs=stubs)
             out = run_join(node, path, ex) if kind == "join" \
-                else run_agg(node, path, ex)
+                else run_agg(node, path, ex) if kind == "agg" \
+                else run_sort(node, path, ex)
             if out is None:
                 # ineligible after discovery (wide LEFT keys, empty global
                 # agg): run the stage locally so the scan moves past it

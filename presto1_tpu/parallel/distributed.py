@@ -252,3 +252,58 @@ def dryrun_join(mesh: Mesh, rows_per_shard: int = 256):
         shard_rows(mesh, o_key), shard_rows(mesh, o_val), replicate(mesh, nv))
     jax.block_until_ready((total, rows))
     return int(total), int(rows)
+
+
+# ---------------------------------------------------------------- top-N
+
+
+def distributed_topn(mesh: Mesh, batch, key_names, orders, k: int,
+                     axis: str = "d"):
+    """Distributed TopN on the mesh: each shard sorts its row slice and
+    keeps its local top-k; the union of candidates (``n_dev * k`` rows —
+    tiny) goes back to the caller for the final local sort.  The mesh
+    analog of the reference's per-worker ``TopNOperator`` + single merge
+    node (``operator/TopNOperator.java:37``, ``docs/.../dist-sort.rst``);
+    every shard's candidate set provably contains any global top-k row.
+    Cached per (mesh, shapes, keys, k) like every mesh stage program.
+    """
+    import jax
+
+    from ..batch import RecordBatch
+    from ..ops.sort import SortKey, sort_batch
+    from .dist_join import _prep, _rebuild, _stitch
+
+    n_dev = len(mesh.devices.flat)
+    arrays, meta, vnames, shard_rows_ = _prep(mesh, axis, batch, n_dev)
+    n_rows = batch.num_rows
+    kk = max(1, min(int(k), int(shard_rows_)))
+
+    def step(arrs):
+        me = jax.lax.axis_index(axis)
+        valid = jnp.clip(n_rows - me * shard_rows_, 0, shard_rows_)
+        b = _rebuild(arrs, meta, vnames, None, valid)
+        keys = [SortKey(b[nm], asc, nf)
+                for nm, (asc, nf) in zip(key_names, orders)]
+        out = sort_batch(b, keys, limit=kk)
+        res = {name: c.data for name, c in out.columns.items()}
+        vres = {name: c.validity for name, c in out.columns.items()
+                if c.validity is not None}
+        nr = out.num_rows
+        if isinstance(nr, int):
+            nr = jnp.asarray(nr, jnp.int64)
+        return res, vres, jnp.reshape(nr, (1,))
+
+    sig = ("dist_topn", mesh_signature(mesh), axis, tuple(key_names),
+           tuple(orders), kk, int(n_rows), arrays_signature(arrays),
+           tuple((n, str(t)) for n, (t, _) in sorted(meta.items())))
+
+    def build():
+        from jax import shard_map
+
+        return jax.jit(shard_map(
+            step, mesh=mesh, in_specs=(dict.fromkeys(arrays, P(axis)),),
+            out_specs=P(axis)))
+
+    data, validity, counts = cached_program(sig, build)(arrays)
+    jax.block_until_ready((data, validity, counts))
+    return _stitch(data, validity, counts, meta, {}, "inner", kk, n_dev)
