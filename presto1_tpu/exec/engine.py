@@ -345,6 +345,33 @@ class Engine:
         return from_numpy(arrays, dict(table.schema))
 
     def explain_analyze(self, sql: str, user: Optional[str] = None) -> str:
+        """EXPLAIN ANALYZE: per-operator timings.
+
+        With ``compile_queries`` on, the numbers come from the COMPILED
+        path — per-fragment steady-state walls/rows/bytes via
+        ``CompiledQuery.profile()`` (where every reported benchmark
+        number lives), annotated onto the fragment-root plan nodes.
+        Eager sessions keep the per-operator sync-timed tree."""
+        if self.session.get("compile_queries"):
+            from ..sql.logical import plan_tree as _pt
+
+            cq = self._compiled_cache.get(sql)
+            if cq is None:
+                cq = self.compile(sql, user=user)
+                self._compiled_cache[sql] = cq
+            t0 = time.time()
+            frags = cq.profile()
+            stats = QueryStats()
+            stats.wall_s = sum(w for _, w, _r, _b in frags)
+            for root, wall, rows, nbytes in frags:
+                stats.record(root, "Fragment", "", wall, rows, 0)
+                op = stats.operators[root]
+                op.detail = f"{nbytes / 1e6:.1f} MB out"
+            text = stats.render(cq.plan)
+            return text + (
+                f"\n(compiled path: {len(frags)} fragments, per-fragment "
+                f"steady-state walls over 5 reps; profile wall "
+                f"{(time.time() - t0):.2f} s)")
         stats = QueryStats()
         plan = self.plan(sql, user=user)
         t0 = time.time()

@@ -1474,6 +1474,49 @@ class CompiledQuery:
         n = int(num_rows) if not isinstance(num_rows, int) else num_rows
         return RecordBatch(cols, n)
 
+    def profile(self, reps: int = 5,
+                stubs: Optional[Dict[Path, RecordBatch]] = None):
+        """Per-fragment operator attribution ON the compiled path.
+
+        The fragment boundary is the natural operator here (one jitted
+        program per heavy operator — the OperatorStats analog,
+        ``operator/OperatorStats.java``): each fragment re-dispatches
+        ``reps`` times behind its own scalar-readback barrier, so the
+        reported wall is that fragment's steady-state device time (the
+        same methodology as hand xplane captures; through a remote
+        tunnel never trust reps < 5).  Returns
+        ``[(root_path, wall_s, rows, out_bytes), ...]`` in execution
+        order.  Holds every fragment output alive for the walk — a
+        profiling call, not a production run."""
+        import time as _time
+
+        results: Dict[Path, tuple] = dict(
+            self._external_tuples(stubs) if self.external else {})
+        out_stats = []
+        for root, child_roots, jfn in self._stages:
+            frag_inputs = {}
+            for cr in child_roots:
+                data, validity, n, _ = results[cr]
+                for nm, _t, _d, _hv in self._meta[cr]:
+                    frag_inputs[_k(cr, nm, "d")] = data[nm]
+                    if nm in validity:
+                        frag_inputs[_k(cr, nm, "v")] = validity[nm]
+                frag_inputs[_k(cr, "", "n")] = n
+            out = jfn(self.inputs, frag_inputs)
+            jax.block_until_ready(out[0])
+            rows = int(out[2])
+            t0 = _time.time()
+            for _ in range(reps):
+                out = jfn(self.inputs, frag_inputs)
+            jax.block_until_ready(out[0])
+            rows = int(out[2])
+            wall = (_time.time() - t0) / reps
+            nbytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                         for a in out[0].values())
+            out_stats.append((root, wall, rows, nbytes))
+            results[root] = out
+        return out_stats
+
     def block_run(self, reps: int = 1):
         """Execute ``reps`` times and block until complete (benchmarking).
 

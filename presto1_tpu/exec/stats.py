@@ -52,9 +52,10 @@ class QueryStats:
         head = plan_tree(node, 0).split("\n")[0]
         pad = "  " * indent
         if op is not None:
+            extra = f", {op.detail}" if op.detail else ""
             lines.append(
                 f"{pad}{head}   [{op.wall_s * 1000:.1f} ms, "
-                f"{op.output_rows} rows]")
+                f"{op.output_rows} rows{extra}]")
         else:
             lines.append(f"{pad}{head}")
         for i, child in enumerate(node.children):
