@@ -135,12 +135,32 @@ def main():
         base = _baseline_s(q, sf, catalog)
         rows_per_s.append(lineitem_rows / ours)
         speedups.append(base / ours)
-        per_query[f"q{q}"] = {
+        # roofline reconciliation (round-5 VERDICT item 5): bytes the
+        # query reads from HBM vs the 819 GB/s chip bound.  gbps_wall
+        # includes the per-dispatch tunnel residual; BENCH_ROOFLINE=1
+        # additionally captures ON-DEVICE time via xplane — the honest
+        # numerator for %-of-speed-of-light claims.
+        from presto1_tpu.testing.roofline import (HBM_GBPS, device_ms,
+                                                  query_bytes)
+
+        qbytes = query_bytes(cq.plan, catalog)
+        rec = {
             "ms": round(ours * 1e3, 2),
             "trial_spread_ms": round((max(walls) - min(walls)) * 1e3, 2),
             "baseline_ms": round(base * 1e3, 1),
             "rows_per_s": round(lineitem_rows / ours),
+            "scan_mb": round(qbytes / 1e6, 1),
+            "gbps_wall": round(qbytes / ours / 1e9, 1),
+            "pct_sol_wall": round(100.0 * qbytes / ours / 1e9 / HBM_GBPS,
+                                  1),
         }
+        if os.environ.get("BENCH_ROOFLINE"):
+            dms = device_ms(lambda: cq._run()[0], reps=reps)  # in ms
+            rec["device_ms"] = round(dms, 2)
+            rec["gbps_device"] = round(qbytes / (dms / 1e3) / 1e9, 1)
+            rec["pct_sol_device"] = round(
+                100.0 * qbytes / (dms / 1e3) / 1e9 / HBM_GBPS, 1)
+        per_query[f"q{q}"] = rec
 
     print(json.dumps({
         "metric": f"tpch_sf{sf:g}_q{'_q'.join(str(q) for q in qids)}_geomean_lineitem_rows_per_s",

@@ -31,6 +31,85 @@ def bench(fn, *args, reps=5):
     return (time.time() - t0) / reps
 
 
+def query_bytes(plan, catalog) -> int:
+    """Bytes the query must read from HBM: every scanned column at its
+    device dtype (+ validity bytes).  The denominator for achieved-GB/s
+    reporting (the reference treats input_megabytes_per_second as a
+    first-class metric — ``AbstractOperatorBenchmark.java:310-329``)."""
+    from ..sql.logical import Scan
+
+    total = 0
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if isinstance(node, Scan):
+            t = catalog.table(node.table)
+            n = t.num_rows
+            for cname in node.symbols:
+                col = t.column(cname)
+                itemsize = col.data.dtype.itemsize
+                width = 1
+                if col.data.ndim > 1:
+                    width = int(col.data.shape[1])
+                total += n * itemsize * width
+                if col.validity is not None:
+                    total += n  # bool
+        stack.extend(node.children)
+    return total
+
+
+def device_ms(run, reps: int = 10) -> float:
+    """On-DEVICE time per run via an xplane capture: sums the 'XLA Ops'
+    event line of the TPU plane over ``reps`` dispatches.  This is the
+    number wall-clock comparisons against HBM speed of light must use —
+    through a remote-device tunnel the wall carries ~8-10 ms of dispatch
+    residual per query that has nothing to do with the chip (the round-4
+    '9% of SoL' verdict artifact)."""
+    import glob
+    import os
+    import tempfile
+
+    import jax
+
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION",
+                          "python")
+    with tempfile.TemporaryDirectory(prefix="xplane_") as d:
+        with jax.profiler.trace(d):
+            for _ in range(reps):
+                out = run()
+            jax.block_until_ready(out)
+        files = sorted(glob.glob(f"{d}/**/*.xplane.pb", recursive=True))
+        if not files:
+            return float("nan")
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+        xs = xplane_pb2.XSpace()
+        with open(files[-1], "rb") as f:
+            xs.ParseFromString(f.read())
+        # events NEST (ops inside fused while-loops appear under their
+        # parents — summing durations double-counts) and the device
+        # IDLES between remote dispatches (a plain span over-counts):
+        # the busy time is the UNION of op intervals
+        busy_ps = 0
+        for plane in xs.planes:
+            if "TPU" not in plane.name and "Device" not in plane.name:
+                continue
+            for line in plane.lines:
+                if line.name != "XLA Ops" or not line.events:
+                    continue
+                iv = sorted((ev.offset_ps, ev.offset_ps + ev.duration_ps)
+                            for ev in line.events)
+                cur_lo, cur_hi = iv[0]
+                for lo, hi in iv[1:]:
+                    if lo > cur_hi:
+                        busy_ps += cur_hi - cur_lo
+                        cur_lo, cur_hi = lo, hi
+                    else:
+                        cur_hi = max(cur_hi, hi)
+                busy_ps += cur_hi - cur_lo
+        return busy_ps / 1e9 / reps
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=1 << 23)
