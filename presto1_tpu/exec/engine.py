@@ -595,18 +595,21 @@ class Engine:
                 # has none — SURVEY §2.8): the same histogram that sizes
                 # the exchange quota flags hot keys, and the join splits
                 # into a repartitioned cold half + a hot half where probe
-                # rows stay put and the few hot build rows broadcast
-                if (node.kind == "inner" and len(lkeys) == 1
-                        and node.residual is None and p_rows > 0):
+                # rows stay put and the few hot build rows broadcast.
+                # Detection runs on the packed ROUTE WORD, so multi-key
+                # joins and residual conditions are covered — parity with
+                # the DCN plane's row-hash path (round-5 VERDICT item 7)
+                if node.kind == "inner" and p_rows > 0:
                     from ..parallel.skew import (detect_hot_keys,
                                                  skew_aware_join)
 
-                    hot = detect_hot_keys(
-                        np.asarray(lb[lkeys[0]].data)[:p_rows], p_rows,
-                        n_dev, threshold=skew_threshold)
+                    hot = detect_hot_keys(lw, p_rows, n_dev,
+                                          threshold=skew_threshold)
                     if hot.size:
                         out = skew_aware_join(
-                            mesh, lb, rb, lkeys[0], rkeys[0], ranges, hot)
+                            mesh, lb, rb, lkeys, rkeys, ranges, hot,
+                            lw, rw, residual=residual,
+                            build_unique=node.build_unique)
                         stages["skew_joins"] += 1
                         return drop_temp(
                             RecordBatch(out.columns, int(out.num_rows)))

@@ -187,14 +187,63 @@ def test_skew_aware_join(mesh):
                        dict(pk=BIGINT, pv=BIGINT))
     build = from_numpy({"bk": bk, "bv": bk * 10}, dict(bk=BIGINT, bv=BIGINT))
     ranges = [(0, 500)]
-    hot = detect_hot_keys(pk, np_rows, 8)
-    assert 7 in hot
-    out = skew_aware_join(mesh, probe, build, "pk", "bk", ranges, hot)
+    from presto1_tpu.parallel.dist_join import route_word
+
+    pw = np.asarray(route_word(probe, ["pk"], ranges, np_rows))
+    bw = np.asarray(route_word(build, ["bk"], ranges, len(bk)))
+    hot = detect_hot_keys(pw, np_rows, 8)
+    assert hot.size  # key 7's word is hot
+    out = skew_aware_join(mesh, probe, build, "pk", "bk", ranges, hot,
+                          pw, bw)
     ref = hash_join(probe, build, ["pk"], ["bk"], "inner", ranges,
                     round_capacity(np_rows * 2))
     n, rn = int(out.num_rows), int(ref.num_rows)
     assert n == rn == np_rows  # every probe key matches exactly one build row
     assert sorted(out["pv"].decode(n)) == sorted(ref["pv"].decode(rn))
+
+
+def test_skew_aware_join_multi_key_residual(mesh):
+    """Round-5 VERDICT item 7 — skew parity between planes: the mesh
+    hybrid must handle MULTI-KEY joins (hot detection on the packed
+    route word) and residual conditions (each candidate pair lives in
+    exactly one half)."""
+    from presto1_tpu.batch import from_numpy, round_capacity
+    from presto1_tpu.expr import ir
+    from presto1_tpu.ops import hash_join
+    from presto1_tpu.parallel.dist_join import route_word
+    from presto1_tpu.parallel.skew import detect_hot_keys, skew_aware_join
+    from presto1_tpu.types import BIGINT
+
+    rng = np.random.RandomState(4)
+    np_rows = 4096
+    # hot COMPOSITE key (7, 3): ~60% of probe rows
+    hot_row = rng.rand(np_rows) < 0.6
+    k1 = np.where(hot_row, 7, rng.randint(0, 60, np_rows)).astype(np.int64)
+    k2 = np.where(hot_row, 3, rng.randint(0, 8, np_rows)).astype(np.int64)
+    probe = from_numpy(
+        {"p1": k1, "p2": k2, "pv": np.arange(np_rows)},
+        dict(p1=BIGINT, p2=BIGINT, pv=BIGINT))
+    b1 = np.repeat(np.arange(60, dtype=np.int64), 8)
+    b2 = np.tile(np.arange(8, dtype=np.int64), 60)
+    build = from_numpy({"b1": b1, "b2": b2, "bv": np.arange(480)},
+                       dict(b1=BIGINT, b2=BIGINT, bv=BIGINT))
+    ranges = [(0, 60), (0, 8)]
+    pw = np.asarray(route_word(probe, ["p1", "p2"], ranges, np_rows))
+    bw = np.asarray(route_word(build, ["b1", "b2"], ranges, 480))
+    hot = detect_hot_keys(pw, np_rows, 8)
+    assert hot.size == 1  # exactly the (7, 3) word
+    residual = ir.call("<", ir.ColumnRef("pv", BIGINT),
+                       ir.ColumnRef("bv", BIGINT))
+    out = skew_aware_join(mesh, probe, build, ["p1", "p2"], ["b1", "b2"],
+                          ranges, hot, pw, bw, residual=residual)
+    ref = hash_join(probe, build, ["p1", "p2"], ["b1", "b2"], "inner",
+                    ranges, round_capacity(np_rows * 2),
+                    residual=residual)
+    n, rn = int(out.num_rows), int(ref.num_rows)
+    assert n == rn > 0
+    got = sorted(zip(out["pv"].decode(n), out["bv"].decode(n)))
+    want = sorted(zip(ref["pv"].decode(rn), ref["bv"].decode(rn)))
+    assert got == want
 
 
 def test_distributed_left_join_null_counts(tpch_engine):
