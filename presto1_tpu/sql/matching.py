@@ -439,6 +439,126 @@ def _merge_projections(m: Match) -> Optional[L.LogicalNode]:
     return L.Project(inner.child, new_outputs)
 
 
+def _merge_limit_with_topn(m: Match) -> Optional[L.LogicalNode]:
+    """Limit over an already-truncated Sort (MergeLimitWithTopN.java):
+    the smaller of the two limits wins; offsets must compose trivially
+    (inner offset consumed before outer limit counts — only safe when
+    the inner has none)."""
+    outer: L.Limit = m.node
+    inner: L.Sort = outer.child
+    if inner.offset or outer.n is None:
+        return None
+    return L.Sort(inner.child, inner.keys,
+                  limit=min(outer.n, max(inner.limit - outer.offset, 0))
+                  if inner.limit is not None else outer.n,
+                  offset=outer.offset)
+
+
+def _push_limit_through_mark_distinct(m: Match) -> Optional[L.LogicalNode]:
+    """MarkDistinct is row- and order-preserving (markers route back to
+    input order), so LIMIT slides below it
+    (PushLimitThroughMarkDistinct.java)."""
+    outer: L.Limit = m.node
+    md = outer.child
+    return md.with_children(
+        [L.Limit(md.child, outer.n, outer.offset)])
+
+
+def _push_filter_through_project(m: Match) -> Optional[L.LogicalNode]:
+    """Filter over Project commutes by substituting the projected
+    expressions into the predicate (the PredicatePushDown core as a
+    traced rule) — the filter then keeps sinking toward the scan."""
+    from ..expr import ir
+
+    outer: L.Filter = m.node
+    proj: L.Project = outer.child
+    mapping = dict(proj.outputs)
+    try:
+        pushed = ir.substitute(outer.predicate, mapping)
+    except ValueError:
+        return None
+    return L.Project(L.Filter(proj.child, pushed), proj.outputs)
+
+
+def _push_filter_through_sort(m: Match) -> Optional[L.LogicalNode]:
+    """Filter commutes with an un-truncated Sort; filtering first shrinks
+    the sort's payload (with a limit the filter changes which rows
+    survive, so truncated sorts stay put)."""
+    outer: L.Filter = m.node
+    srt: L.Sort = outer.child
+    if srt.limit is not None or srt.offset:
+        return None
+    return L.Sort(L.Filter(srt.child, outer.predicate), srt.keys)
+
+
+def _flatten_union(m: Match) -> Optional[L.LogicalNode]:
+    """Union containing Union inputs flattens into one n-ary Union
+    (MergeUnion.java): fewer exchange hops, one concat."""
+    u: L.Union = m.node
+    if not any(isinstance(c, L.Union) for c in u.inputs):
+        return None
+    new_inputs: list = []
+    new_cols: list = []  # per output: flattened per-child source symbols
+    for _s, _t, _srcs in u.outputs:
+        new_cols.append([])
+    for ci, child in enumerate(u.inputs):
+        if isinstance(child, L.Union):
+            sub_of = {s: srcs for s, _t, srcs in child.outputs}
+            for gi, (_s, _t, srcs) in enumerate(u.outputs):
+                new_cols[gi].extend(sub_of[srcs[ci]])
+            new_inputs.extend(child.inputs)
+        else:
+            for gi, (_s, _t, srcs) in enumerate(u.outputs):
+                new_cols[gi].append(srcs[ci])
+            new_inputs.append(child)
+    outputs = [(s, t, new_cols[gi])
+               for gi, (s, t, _srcs) in enumerate(u.outputs)]
+    return L.Union(new_inputs, outputs)
+
+
+def _single_input_union(m: Match) -> Optional[L.LogicalNode]:
+    """A one-input Union is a rename: project the lone input."""
+    from ..expr import ir
+
+    u: L.Union = m.node
+    if len(u.inputs) != 1:
+        return None
+    child = u.inputs[0]
+    return L.Project(child, [(s, ir.ColumnRef(srcs[0], t))
+                             for s, t, srcs in u.outputs])
+
+
+def _remove_redundant_distinct(m: Match) -> Optional[L.LogicalNode]:
+    """Pure-DISTINCT aggregation over rows already unique on a subset of
+    the distinct keys is a projection (the reference removes these via
+    unique-properties dedup in AggregationNode planning): the child
+    Aggregate's group keys are unique in its output by construction."""
+    from ..expr import ir
+
+    outer: L.Aggregate = m.node
+    inner = outer.child
+    if outer.aggs or not isinstance(inner, L.Aggregate):
+        return None
+    if not inner.group or not (set(inner.group) <= set(outer.group)):
+        return None
+    schema = inner.schema
+    return L.Project(inner, [(s, ir.ColumnRef(s, schema[s]))
+                             for s in outer.group])
+
+
+def _push_filter_through_mark_distinct(m: Match) -> Optional[L.LogicalNode]:
+    """A filter that only references MarkDistinct's input columns (not
+    the markers) slides below it — fewer rows to mark."""
+    from ..expr import ir
+
+    outer: L.Filter = m.node
+    md = outer.child
+    markers = {s for s, _ in md.markers}
+    if ir.referenced_columns(outer.predicate) & markers:
+        return None
+    return md.with_children([L.Filter(md.child, outer.predicate)])
+
+
 CLEANUP_RULES: List[Rule] = [
     Rule("MergeFilters",  # iterative/rule/MergeFilters.java
          Pattern.node(L.Filter).with_child(Pattern.node(L.Filter)),
@@ -504,4 +624,30 @@ CLEANUP_RULES: List[Rule] = [
          _merge_projections),
     Rule("RemoveRedundantIdentityProjection",
          Pattern.node(L.Project), _remove_identity_project),
+    Rule("MergeLimitWithTopN",  # iterative/rule/MergeLimitWithTopN.java
+         Pattern.node(L.Limit).with_child(
+             Pattern.node(L.Sort).matching(
+                 lambda n: n.limit is not None)),
+         _merge_limit_with_topn),
+    Rule("PushLimitThroughMarkDistinct",
+         # iterative/rule/PushLimitThroughMarkDistinct.java
+         Pattern.node(L.Limit).with_child(Pattern.node(L.MarkDistinct)),
+         _push_limit_through_mark_distinct),
+    Rule("PushFilterThroughProject",  # PredicatePushDown project case
+         Pattern.node(L.Filter).with_child(Pattern.node(L.Project)),
+         _push_filter_through_project),
+    Rule("PushFilterThroughSort",  # PredicatePushDown sort case
+         Pattern.node(L.Filter).with_child(Pattern.node(L.Sort)),
+         _push_filter_through_sort),
+    Rule("FlattenUnion",  # MergeUnion.java
+         Pattern.node(L.Union), _flatten_union),
+    Rule("SingleInputUnion",
+         Pattern.node(L.Union), _single_input_union),
+    Rule("RemoveRedundantDistinct",  # unique-properties dedup
+         Pattern.node(L.Aggregate).matching(lambda n: not n.aggs)
+         .with_child(Pattern.node(L.Aggregate)),
+         _remove_redundant_distinct),
+    Rule("PushFilterThroughMarkDistinct",
+         Pattern.node(L.Filter).with_child(Pattern.node(L.MarkDistinct)),
+         _push_filter_through_mark_distinct),
 ]

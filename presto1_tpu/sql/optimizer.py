@@ -283,17 +283,90 @@ def _unique_keysets(node: LogicalNode, catalog) -> Set[frozenset]:
     return set()
 
 
+#: exact (bushy, C_out-cost) join enumeration up to this many relations;
+#: wider FROM lists fall back to GOO.  8 relations = 255 subsets and a
+#: few thousand candidate splits — negligible planning latency with the
+#: shared stats memo.
+DP_JOIN_MAX = 8
+
+
 def _reorder(node: LogicalNode, catalog) -> LogicalNode:
     if isinstance(node, Join) and node.kind in ("inner", "cross"):
         rels, edges, residuals = [], [], []
         _flatten_inner(node, rels, edges, residuals, catalog)
         if len(rels) > 2:
             rels = [_reorder(r, catalog) for r in rels]
-            tree = _greedy_join(rels, edges, catalog)
+            if len(rels) <= DP_JOIN_MAX:
+                tree = _dp_join(rels, edges, catalog)
+            else:
+                tree = _greedy_join(rels, edges, catalog)
             tree = _orient_tree(tree, catalog)
             return _wrap(tree, residuals)
     return _orient(node.with_children(
         [_reorder(c, catalog) for c in node.children]), catalog)
+
+
+def _dp_join(rels, edges, catalog) -> LogicalNode:
+    """Exact join enumeration over subsets (memo-lite — the bounded
+    analog of the reference's Memo + ReorderJoins exploration,
+    ``iterative/Memo.java:64``, ``iterative/rule/ReorderJoins.java``).
+
+    Dynamic program over relation subsets: ``best[S]`` is the cheapest
+    bushy tree joining subset ``S`` under the C_out metric (sum of
+    intermediate result cardinalities — the standard exploration
+    objective; build/probe orientation and physical costs are applied
+    afterwards by ``_orient_tree``).  Cross joins are admitted with a
+    large penalty so disconnected FROM lists still plan, but never beat
+    a connected order.  All candidate stats ride ONE shared memo, so
+    each subtree derives once."""
+    n = len(rels)
+    memo: dict = {}
+    keep_alive: list = []
+    schemas = [set(r.schema) for r in rels]
+
+    def edges_between(sa, sb):
+        eq = []
+        for a, b in edges:
+            ra, rb = _refs(a), _refs(b)
+            if ra <= sa and rb <= sb:
+                eq.append((a, b))
+            elif rb <= sa and ra <= sb:
+                eq.append((b, a))
+        return eq
+
+    # best[mask] = (cost, rows, tree, schema)
+    best: dict = {}
+    for i, r in enumerate(rels):
+        rows = _estimate(r, catalog, memo)
+        best[1 << i] = (0.0, rows, r, schemas[i])
+
+    full = (1 << n) - 1
+    for mask in range(3, full + 1):
+        if mask & (mask - 1) == 0 or mask in best:
+            continue
+        chosen = None
+        # enumerate proper sub-splits; canonical: S1 contains the lowest
+        # set bit so each unordered partition is tried once
+        low = mask & -mask
+        sub = (mask - 1) & mask
+        while sub:
+            s1, s2 = sub, mask ^ sub
+            if (s1 & low) and s1 in best and s2 in best:
+                c1, r1, t1, sch1 = best[s1]
+                c2, r2, t2, sch2 = best[s2]
+                eq = edges_between(sch1, sch2)
+                kind = "inner" if eq else "cross"
+                cand = Join(t1, t2, kind, eq, None)
+                keep_alive.append(cand)
+                rows = _estimate(cand, catalog, memo)
+                cost = c1 + c2 + rows
+                if not eq:
+                    cost += rows * 1e6  # cross-join penalty
+                if chosen is None or cost < chosen[0]:
+                    chosen = (cost, rows, cand, sch1 | sch2)
+            sub = (sub - 1) & mask
+        best[mask] = chosen
+    return best[full][2]
 
 
 def _orient_tree(node: LogicalNode, catalog) -> LogicalNode:

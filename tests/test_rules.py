@@ -147,3 +147,78 @@ def _walk(node):
     yield node
     for c in node.children:
         yield from _walk(c)
+
+
+def test_round5_rule_tranche_breadth():
+    assert len(CLEANUP_RULES) >= 25
+
+
+def test_merge_limit_with_topn(engine):
+    sql = ("select * from (select l_orderkey from lineitem "
+           "order by l_orderkey limit 100) t limit 7")
+    trace, plan = _trace(engine, sql)
+    assert "MergeLimitWithTopN" in trace
+    from presto1_tpu.sql.logical import Sort
+
+    sorts = [n for n in _walk(plan) if isinstance(n, Sort)]
+    assert any(s.limit == 7 for s in sorts)
+    assert len(engine.sql(sql).to_pandas()) == 7
+
+
+def test_push_filter_through_project_and_sort(engine):
+    sql = ("select * from (select l_orderkey k, l_quantity * 2 q "
+           "from lineitem order by l_orderkey) t where q < 10")
+    trace, plan = _trace(engine, sql)
+    assert "PushFilterThroughProject" in trace
+    assert "PushFilterThroughSort" in trace
+    # the filter must end up BELOW the sort
+    from presto1_tpu.sql.logical import Filter, Sort
+
+    def depth_of(plan, ty):
+        out = []
+
+        def go(n, d):
+            if isinstance(n, ty):
+                out.append(d)
+            for c in n.children:
+                go(c, d + 1)
+        go(plan, 0)
+        return out
+
+    assert min(depth_of(plan, Sort)) < max(depth_of(plan, Filter))
+    out = engine.sql(sql).to_pandas()
+    assert (out.q < 10).all()
+
+
+def test_flatten_union(engine):
+    sql = ("select count(*) c from ("
+           "select l_orderkey k from lineitem union all "
+           "select o_orderkey k from orders union all "
+           "select c_custkey k from customer) t")
+    trace, plan = _trace(engine, sql)
+    from presto1_tpu.sql.logical import Union
+
+    unions = [n for n in _walk(plan) if isinstance(n, Union)]
+    if len(unions) == 1 and len(unions[0].inputs) == 3:
+        pass  # planner already emits n-ary unions; rule is a no-op then
+    else:
+        assert "FlattenUnion" in trace
+    out = engine.sql(sql).to_pandas()
+    li = engine.sql("select count(*) c from lineitem").to_pandas().c[0]
+    od = engine.sql("select count(*) c from orders").to_pandas().c[0]
+    cu = engine.sql("select count(*) c from customer").to_pandas().c[0]
+    assert int(out.c[0]) == int(li) + int(od) + int(cu)
+
+
+def test_remove_redundant_distinct(engine):
+    sql = ("select distinct o_orderpriority, c from ("
+           "select o_orderpriority, count(*) c from orders "
+           "group by o_orderpriority) t")
+    trace, plan = _trace(engine, sql)
+    assert "RemoveRedundantDistinct" in trace
+    from presto1_tpu.sql.logical import Aggregate
+
+    aggs = [n for n in _walk(plan) if isinstance(n, Aggregate)]
+    assert len(aggs) == 1  # the distinct collapsed into a projection
+    out = engine.sql(sql).to_pandas()
+    assert len(out) == len(set(out.o_orderpriority))
