@@ -395,7 +395,21 @@ class StageDagBuilder:
             return _Open(node.with_children([self.stages[sid].plan]),
                          "hash", hash_keys_alts=[list(node.group)],
                          sources=[RemoteSource((0,), sid, "partition")])
-        # global distinct: every row is one combo space — single consumer
+        # global distinct (no group keys): a single marker's key exprs
+        # still co-locate every value combo — repartition on them instead
+        # of shipping the whole table to the coordinator (the reference
+        # keeps MarkDistinctNode in a hash-partitioned fragment on the
+        # distinct symbols; round-4 ADVICE scalability cliff).  Multiple
+        # markers with different keysets keep the local fallback (one
+        # exchange cannot co-locate them all).
+        if len(node.markers) == 1:
+            keys = [e.name for e in node.markers[0][1]
+                    if isinstance(e, ir.ColumnRef)]
+            if keys and len(keys) == len(node.markers[0][1]):
+                sid = self._close(r, partition_keys=keys)
+                return _Open(node.with_children([self.stages[sid].plan]),
+                             "hash", hash_keys_alts=[keys],
+                             sources=[RemoteSource((0,), sid, "partition")])
         return self._to_local(r).wrap(node)
 
     # -------------------------------------------------------------- sort

@@ -623,3 +623,50 @@ def test_worker_compiled_fragments(runner, local_engine):
         assert_frames_match(actual, expected, ordered=True)
     after = _worker_metric(runner, "worker.compiled_task_runs")
     assert after > before, (before, after)
+
+
+def test_global_distinct_marks_on_workers(runner, local_engine):
+    """GLOBAL count(distinct) (no group keys): the MarkDistinct stage
+    repartitions on the marker keys and marks on WORKERS — the round-4
+    advisor's scalability cliff (whole table gathered to the coordinator
+    for global multi-distinct) is closed for the single-marker case."""
+    sql = ("select count(distinct l_suppkey) d, sum(distinct l_suppkey) q "
+           "from lineitem")
+    info = {}
+    actual = runner.engine.sql(sql, info=info).to_pandas()
+    expected = local_engine.sql_pandas(sql)
+    assert int(actual.d[0]) == int(expected.d[0])
+    assert float(actual.q[0]) == float(expected.q[0])
+    assert info["exchange_tasks"] >= 4, info  # marker stage ran on workers
+
+    # structurally: the coordinator-local plan must NOT contain the
+    # MarkDistinct (it lives in a hash-partitioned stage)
+    from presto1_tpu.exec.stage_dag import build_stage_dag
+    from presto1_tpu.sql.logical import MarkDistinct
+
+    plan = local_engine.plan(sql)
+    local_plan, sources, stages = build_stage_dag(
+        plan, local_engine.catalog)[:3]
+
+    def has_md(n):
+        return isinstance(n, MarkDistinct) or any(
+            has_md(c) for c in n.children)
+
+    def md_path(n, path=()):
+        if isinstance(n, MarkDistinct):
+            return path
+        for i, c in enumerate(n.children):
+            p = md_path(c, path + (i,))
+            if p is not None:
+                return p
+        return None
+
+    # the marking runs in a worker stage...
+    assert any(has_md(s.plan) for s in stages)
+    # ...and the coordinator executes nothing at or below it: a stub
+    # (remote source) path is an ancestor-or-self of the MarkDistinct in
+    # the local plan template
+    mdp = md_path(local_plan)
+    assert mdp is not None
+    assert any(mdp[:len(p)] == tuple(p) for p in sources), (
+        mdp, list(sources))
