@@ -419,12 +419,28 @@ class MultiHostEngine:
             part = None
             if st.partition_keys is not None:
                 part = {"keys": st.partition_keys, "count": n_parts}
+            # source stages scan by SPLIT: the catalog's split manager
+            # enumerates the units of scan parallelism (formal
+            # ConnectorSplitManager boundary — spi/connector.py); the
+            # built-in manager yields n_parts uniform row-range shards,
+            # an external connector can return its own split shapes
+            splits = None
+            if st.distribution == "source":
+                from ..spi.connector import split_manager_for
+
+                mgr = split_manager_for(self.catalog)
+                tbl = self.catalog.table(st.table) \
+                    if getattr(st, "table", None) else None
+                splits = mgr.splits(tbl, n_parts) if tbl is not None \
+                    else None
+            n_tasks = len(splits) if splits is not None else n_parts
             clients = []
-            for p in range(n_parts):
+            for p in range(n_tasks):
                 node = nodes[p % len(nodes)]
                 client = RemoteTaskClient(node, uuid.uuid4().hex[:16])
-                shard = ({"index": p, "count": n_parts}
-                         if st.distribution == "source" else None)
+                shard = (splits[p].to_wire() if splits is not None
+                         else ({"index": p, "count": n_parts}
+                               if st.distribution == "source" else None))
                 client.create(frag_json, shard,
                               sources=task_sources(st, p),
                               partitioning=part,
@@ -435,7 +451,7 @@ class MultiHostEngine:
                 clients.append(client)
             stage_clients[sid] = clients
             metrics["stage1_tasks" if st.distribution == "source"
-                    else "exchange_tasks"] += n_parts
+                    else "exchange_tasks"] += n_tasks
 
         # schedule top-down from the coordinator-consumed stages: the
         # recursion reaches every upstream, and a join stage's dynamic

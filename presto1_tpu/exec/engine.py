@@ -223,16 +223,24 @@ class Engine:
             del self.catalog.tables[stmt.name]
             return self._dml_result(0)
         if isinstance(stmt, ast.InsertInto):
+            # write through the connector page sink (ConnectorPageSink):
+            # rows buffer invisibly and commit atomically at finish() —
+            # a failing INSERT ... SELECT leaves the table untouched
             table = self.catalog.table(stmt.name)
-            if not isinstance(table, MemoryTable):
+            if not hasattr(table, "page_sink"):
                 raise ValueError(f"table {stmt.name} is not writable")
-            if stmt.query is not None:
-                out = Executor(self.catalog).execute(
-                    self._plan_ast(stmt.query, user))
-            else:
-                out = self._values_batch(stmt.values, table)
-            n = table.append(out)
-            return self._dml_result(n)
+            sink = table.page_sink()
+            try:
+                if stmt.query is not None:
+                    out = Executor(self.catalog).execute(
+                        self._plan_ast(stmt.query, user))
+                else:
+                    out = self._values_batch(stmt.values, table)
+                sink.append(out)
+            except Exception:
+                sink.abort()
+                raise
+            return self._dml_result(sink.finish())
         if isinstance(stmt, ast.Show):
             return self._show(stmt)
         raise ValueError(f"unsupported statement {type(stmt).__name__}")

@@ -54,6 +54,41 @@ class MemoryTable(Table):
         self._ranges.clear()
         return n
 
+    def page_sink(self):
+        """Writable half of the connector SPI
+        (``spi/connector/ConnectorPageSink.java``): pages buffer
+        invisibly; ``finish()`` commits them in one append (readers never
+        observe a partial write — the TableFinishOperator contract)."""
+        table = self
+
+        from ..spi.connector import ConnectorPageSink
+
+        class _Sink(ConnectorPageSink):
+            def __init__(self):
+                self._pages: list = []
+                self._done = False
+
+            def append(self, batch: RecordBatch) -> int:
+                assert not self._done, "sink already finished/aborted"
+                n = batch.num_rows if isinstance(batch.num_rows, int) \
+                    else int(batch.num_rows)
+                self._pages.append(batch)
+                return n
+
+            def finish(self) -> int:
+                self._done = True
+                total = 0
+                for b in self._pages:
+                    total += table.append(b)
+                self._pages.clear()
+                return total
+
+            def abort(self) -> None:
+                self._done = True
+                self._pages.clear()
+
+        return _Sink()
+
     def _load(self, column: str) -> Column:
         t = self.schema[column]
         vals = self._data[column]
