@@ -132,6 +132,25 @@ class Column:
         elif self.type.kind == "timestamp":
             out = (np.array(["1970-01-01"], dtype="datetime64[us]")[0]
                    + data.astype("timedelta64[us]"))
+        elif self.type.kind == "interval_ds":
+            # render like the reference's SqlIntervalDayTime: 'D HH:MM:SS.mmm'
+            def _ds(us):
+                sign = "-" if us < 0 else ""
+                us = abs(int(us))
+                d, rem = divmod(us, 86_400_000_000)
+                h, rem = divmod(rem, 3_600_000_000)
+                m, rem = divmod(rem, 60_000_000)
+                s, rem = divmod(rem, 1_000_000)
+                return f"{sign}{d} {h:02d}:{m:02d}:{s:02d}.{rem // 1000:03d}"
+
+            out = np.array([_ds(v) for v in data], dtype=object)
+        elif self.type.kind == "interval_ym":
+            def _ym(months):
+                sign = "-" if months < 0 else ""
+                y, m = divmod(abs(int(months)), 12)
+                return f"{sign}{y}-{m}"
+
+            out = np.array([_ym(v) for v in data], dtype=object)
         else:
             out = data
         if self.validity is not None:

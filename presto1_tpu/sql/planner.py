@@ -1169,15 +1169,30 @@ class ExprConverter:
         return ir.Literal(_micros(e.value), TIMESTAMP)
 
     def _c_BinaryOp(self, e: ast.BinaryOp) -> ir.Expr:
-        # constant-fold date ± interval
+        # date/timestamp ± interval: constant-fold on date literals,
+        # lower to the vectorized date_add on anything else (runtime
+        # column arithmetic — ``DateTimeOperators`` analog)
         if e.op in ("+", "-") and isinstance(e.right, ast.IntervalLit):
             left = self.convert(e.left)
+            sign = 1 if e.op == "+" else -1
+            unit = e.right.unit
             if isinstance(left, ir.Literal) and left.type == DATE:
-                sign = 1 if e.op == "+" else -1
                 return ir.Literal(
-                    _fold_date(left.value, e.right.value, e.right.unit, sign),
+                    _fold_date(left.value, e.right.value, unit, sign),
                     DATE)
-            raise PlanError("interval arithmetic only on date literals")
+            if left.type.kind in ("date", "timestamp"):
+                if left.type.kind == "date" and unit in (
+                        "hour", "minute", "second"):
+                    raise PlanError(
+                        f"date ± sub-day interval ({unit}): cast to "
+                        "timestamp first")
+                return ir.Call(
+                    "date_add",
+                    (ir.Literal(unit, VARCHAR),
+                     ir.Literal(sign * e.right.value, BIGINT), left),
+                    left.type)
+            raise PlanError("interval arithmetic needs a date/timestamp "
+                            "left operand")
         left = self.convert(e.left)
         right = self.convert(e.right)
         if isinstance(left, RowExpr) or isinstance(right, RowExpr):
@@ -1456,7 +1471,19 @@ class ExprConverter:
         raise PlanError("IN (subquery) outside WHERE conjunct is unsupported")
 
     def _c_IntervalLit(self, e):
-        raise PlanError("bare interval literal")
+        """First-class interval VALUE (``SqlIntervalDayTime`` /
+        ``SqlIntervalYearMonth``): day-second intervals are int64 micros,
+        year-month intervals int32 months; comparisons and +/- between
+        same-kind intervals ride the generic integer operators."""
+        from ..types import INTERVAL_DS, INTERVAL_YM
+
+        unit = e.unit
+        if unit in ("year", "month"):
+            months = e.value * (12 if unit == "year" else 1)
+            return ir.Literal(months, INTERVAL_YM)
+        micros = {"day": 86_400_000_000, "hour": 3_600_000_000,
+                  "minute": 60_000_000, "second": 1_000_000}[unit] * e.value
+        return ir.Literal(micros, INTERVAL_DS)
 
 
 def _fold_date(days: int, n: int, unit: str, sign: int) -> int:

@@ -171,6 +171,11 @@ class RowType(SqlType):
 MICROS_PER_DAY = 86_400_000_000
 
 _NP_DTYPES = {
+    # INTERVAL DAY TO SECOND: int64 microseconds; INTERVAL YEAR TO
+    # MONTH: int32 months (``spi/type/SqlIntervalDayTime`` /
+    # ``SqlIntervalYearMonth`` analogs — two fixed-width device ints)
+    "interval_ds": np.dtype(np.int64),
+    "interval_ym": np.dtype(np.int32),
     "bigint": np.dtype(np.int64),
     "integer": np.dtype(np.int32),
     "smallint": np.dtype(np.int16),
@@ -195,6 +200,8 @@ BOOLEAN = SqlType("boolean")
 DATE = SqlType("date")
 TIMESTAMP = TimestampType(3)
 VARCHAR = SqlType("varchar")
+INTERVAL_DS = SqlType("interval_ds")
+INTERVAL_YM = SqlType("interval_ym")
 
 
 def _split_type_args(s: str):
@@ -243,6 +250,10 @@ def parse_type_str(name: str) -> SqlType:
         k, v = _split_type_args(inner)
         return MapType(parse_type_str(k), parse_type_str(v))
 
+    if n in ("interval_ds", "interval_ym"):
+        return SqlType(n)
+    if n.startswith("interval"):
+        return INTERVAL_YM if "year" in n or "month" in n else INTERVAL_DS
     if n.startswith("decimal"):
         p, s = (paren_args(["12", "2"]) + ["0"])[:2]
         return DecimalType(int(p), int(s))

@@ -90,3 +90,32 @@ def test_current_date(engine):
     out = engine.sql("select current_date cd").to_pandas()
     assert str(np.datetime64(out.cd[0], "D")) == \
         str(np.datetime64(int(time.time() // 86400), "D"))
+
+
+def test_first_class_interval_arithmetic(engine):
+    """Round-5: date/timestamp ± INTERVAL on COLUMNS (not just literal
+    folding), both interval kinds, plus interval values as outputs."""
+    out = engine.sql_pandas(
+        "select o_orderdate + interval '3' day d3, "
+        "o_orderdate - interval '1' month m1, "
+        "o_orderdate + interval '2' year y2 "
+        "from orders limit 3")
+    import pandas as pd
+
+    base = engine.sql_pandas("select o_orderdate from orders limit 3")
+    b = pd.to_datetime(base.o_orderdate)
+    assert list(pd.to_datetime(out.d3)) == list(b + pd.Timedelta(days=3))
+    assert list(pd.to_datetime(out.m1)) == list(b - pd.DateOffset(months=1))
+    assert list(pd.to_datetime(out.y2)) == list(b + pd.DateOffset(years=2))
+    # interval values project and render
+    v = engine.sql_pandas(
+        "select interval '36' hour h, interval '14' month m from region "
+        "limit 1")
+    assert v.h[0] == "1 12:00:00.000"
+    assert v.m[0] == "1-2"
+    # filters with column-side interval arithmetic
+    c = engine.sql_pandas(
+        "select count(*) c from orders "
+        "where o_orderdate + interval '1' day > o_orderdate")
+    total = engine.sql_pandas("select count(*) c from orders")
+    assert int(c.c[0]) == int(total.c[0])
