@@ -216,14 +216,16 @@ class RemoteTaskClient:
                collect_domains: Optional[List[str]] = None,
                collect_stats: bool = False,
                collect_hot: Optional[float] = None,
-               hot_hashes: Optional[list] = None) -> None:
+               hot_hashes: Optional[list] = None,
+               query: Optional[str] = None) -> None:
         body = json.dumps({"fragment": fragment_json, "shard": shard,
                            "sources": sources,
                            "output_partitioning": partitioning,
                            "collect_domains": collect_domains,
                            "collect_stats": collect_stats,
                            "collect_hot": collect_hot,
-                           "hot_hashes": hot_hashes}).encode()
+                           "hot_hashes": hot_hashes,
+                           "query": query}).encode()
         self._rpc("POST", f"/v1/task/{self.task_id}", body)
 
     def status(self) -> dict:
@@ -332,6 +334,7 @@ class MultiHostEngine:
         from .stage_dag import build_stage_dag
 
         t_query = time.time()
+        query_id = uuid.uuid4().hex[:12]
         plan = self.plan(sql)
         coord_plan, coord_sources, stages = build_stage_dag(
             plan, self.catalog,
@@ -447,7 +450,8 @@ class MultiHostEngine:
                               collect_domains=st.collect_domains,
                               collect_stats=info is not None,
                               collect_hot=st.collect_hot,
-                              hot_hashes=st.hot_hashes)
+                              hot_hashes=st.hot_hashes,
+                              query=query_id)
                 clients.append(client)
             stage_clients[sid] = clients
             metrics["stage1_tasks" if st.distribution == "source"

@@ -353,6 +353,13 @@ class WorkerRuntime:
         self._frag_cache: Dict[str, object] = {}
         self._frag_seen: Dict[str, int] = {}
         self._frag_lock = threading.Lock()
+        # fair compute scheduling (TaskExecutor + MultilevelSplitQueue
+        # analog): fragment compute phases run on a bounded pool ordered
+        # by each query's accumulated CPU level; exchange fetches stay on
+        # the task thread so a blocked fetch never occupies a runner
+        from .task_executor import FairTaskExecutor
+
+        self.task_executor = FairTaskExecutor()
 
     def base_catalog(self):
         with self._catalog_lock:
@@ -409,23 +416,31 @@ class WorkerRuntime:
             # need full per-operator attribution, which only the eager
             # executor produces — same trade as the reference's
             # ExplainAnalyzeOperator overhead
-            if self.compile_policy != "off" \
-                    and not body.get("collect_stats"):
-                out = self._try_compiled(task, body, plan, catalog,
-                                         shard, stubs)
-            if out is not None:
-                n = out.num_rows if isinstance(out.num_rows, int) \
-                    else int(out.num_rows)
+            def compute():
+                if self.compile_policy != "off" \
+                        and not body.get("collect_stats"):
+                    out = self._try_compiled(task, body, plan, catalog,
+                                             shard, stubs)
+                    if out is not None:
+                        return out, None
+                qstats = QueryStats()
+                out = Executor(catalog, stubs=stubs,
+                               stats=qstats).execute(plan)
+                return out, qstats
+
+            # fragment compute runs under the fair MLFQ scheduler keyed
+            # by the query's accumulated CPU (coordinator-assigned query
+            # id; standalone tasks fall back to their task id)
+            out, qstats = self.task_executor.run(
+                body.get("query") or task.task_id, compute)
+            n = out.num_rows if isinstance(out.num_rows, int) \
+                else int(out.num_rows)
+            if qstats is None:
                 task.operator_stats = [
                     {"path": [], "name": "CompiledFragment",
                      "wallMs": round((time.time() - t0) * 1000, 3),
                      "rows": n, "invocations": 1}]
             else:
-                qstats = QueryStats()
-                out = Executor(catalog, stubs=stubs,
-                               stats=qstats).execute(plan)
-                n = out.num_rows if isinstance(out.num_rows, int) \
-                    else int(out.num_rows)
                 qstats.wall_s = time.time() - t0
                 task.operator_stats = [
                     {"path": list(path), "name": op.name,
