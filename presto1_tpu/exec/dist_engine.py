@@ -344,6 +344,11 @@ class MultiHostEngine:
         nodes = self.registry.active_nodes()
         if not nodes:
             raise QueryFailed("no active worker nodes")
+        # placement order: topology-aware when racks are announced
+        # (TopologyAwareNodeSelector analog), else uniform round-robin
+        from ..server.discovery import make_node_selector
+
+        nodes = make_node_selector(nodes).order(nodes)
         if not stages:  # e.g. FROM-less SELECT
             return Executor(self.catalog).execute(coord_plan)
         n_parts = len(nodes) * self.shards_per_node

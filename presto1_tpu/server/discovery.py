@@ -28,10 +28,15 @@ from urllib import request as urlrequest
 
 
 class NodeInfo:
-    def __init__(self, node_id: str, uri: str, catalog: str):
+    def __init__(self, node_id: str, uri: str, catalog: str,
+                 topology: Optional[dict] = None):
         self.node_id = node_id
         self.uri = uri
         self.catalog = catalog
+        # network-locality labels (rack/host/pod ...), announced by the
+        # worker (P1_NODE_RACK / P1_NODE_HOST env) — consumed by the
+        # TopologyAwareNodeSelector (FlatNetworkTopology analog)
+        self.topology: dict = topology or {}
         self.last_announce = time.time()
         self.success_rate = 1.0
         self.last_probe: Optional[float] = None
@@ -41,6 +46,7 @@ class NodeInfo:
         return {
             "nodeId": self.node_id, "uri": self.uri,
             "catalog": self.catalog,
+            "topology": self.topology,
             "successRate": round(self.success_rate, 4),
             "shuttingDown": self.shutting_down,
             "ageSinceAnnounce_s": time.time() - self.last_announce,
@@ -61,12 +67,16 @@ class NodeRegistry:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
-    def announce(self, node_id: str, uri: str, catalog: str) -> None:
+    def announce(self, node_id: str, uri: str, catalog: str,
+                 topology: Optional[dict] = None) -> None:
         with self.lock:
             node = self.nodes.get(node_id)
             if node is None:
-                self.nodes[node_id] = node = NodeInfo(node_id, uri, catalog)
+                self.nodes[node_id] = node = NodeInfo(node_id, uri, catalog,
+                                                      topology)
             node.uri = uri
+            if topology:
+                node.topology = topology
             node.last_announce = time.time()
 
     def active_nodes(self) -> List[NodeInfo]:
@@ -138,3 +148,56 @@ class Backoff:
 
     def delay_s(self) -> float:
         return min(0.05 * (2 ** max(self.tries - 1, 0)), 1.0)
+
+
+class UniformNodeSelector:
+    """Round-robin placement over the active set — the reference's
+    ``UniformNodeSelector`` (the default when no topology is known)."""
+
+    def order(self, nodes: List[NodeInfo]) -> List[NodeInfo]:
+        return list(nodes)
+
+
+class TopologyAwareNodeSelector:
+    """Rack-interleaved placement (``TopologyAwareNodeSelector`` +
+    ``FlatNetworkTopology`` analog): consecutive task indexes land in
+    DIFFERENT racks, so a stage's tasks — and therefore its output
+    buffers — spread across failure/bandwidth domains instead of filling
+    one rack first.  Nodes without labels form their own singleton
+    domain (mixed clusters degrade gracefully to round-robin)."""
+
+    def __init__(self, label: str = "rack"):
+        self.label = label
+
+    def order(self, nodes: List[NodeInfo]) -> List[NodeInfo]:
+        from collections import OrderedDict
+
+        racks: "OrderedDict[str, List[NodeInfo]]" = OrderedDict()
+        for n in sorted(nodes, key=lambda n: n.node_id):
+            key = n.topology.get(self.label) or f"__solo_{n.node_id}"
+            racks.setdefault(key, []).append(n)
+        out: List[NodeInfo] = []
+        queues = list(racks.values())
+        i = 0
+        while any(queues):
+            q = queues[i % len(queues)]
+            if q:
+                out.append(q.pop(0))
+            i += 1
+            if i > 10_000_000:  # defensive
+                break
+        return out
+
+
+def make_node_selector(nodes: List[NodeInfo]):
+    """Topology-aware when any node announced a rack label, else
+    uniform (the reference picks via node-scheduler.policy config;
+    override with ``P1_NODE_SELECTOR=uniform|topology``)."""
+    import os
+
+    pick = os.environ.get("P1_NODE_SELECTOR", "auto")
+    if pick == "uniform":
+        return UniformNodeSelector()
+    if pick == "topology" or any(n.topology.get("rack") for n in nodes):
+        return TopologyAwareNodeSelector()
+    return UniformNodeSelector()

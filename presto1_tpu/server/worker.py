@@ -752,9 +752,13 @@ class WorkerServer:
         return self
 
     def _announce_loop(self) -> None:
+        topology = {k: os.environ[f"P1_NODE_{k.upper()}"]
+                    for k in ("rack", "host", "pod")
+                    if os.environ.get(f"P1_NODE_{k.upper()}")}
         payload = json.dumps({
             "nodeId": self.runtime.node_id, "uri": self.uri(),
             "catalog": self.runtime.catalog_spec,
+            "topology": topology,
         }).encode()
         while not self._stop.is_set():
             try:

@@ -43,7 +43,8 @@ class DiscoveryServer:
                 if parts[:2] == ["v1", "announcement"] and len(parts) == 3:
                     length = int(self.headers.get("Content-Length", "0"))
                     body = json.loads(self.rfile.read(length).decode())
-                    reg.announce(parts[2], body["uri"], body.get("catalog", ""))
+                    reg.announce(parts[2], body["uri"], body.get("catalog", ""),
+                                 topology=body.get("topology"))
                     payload = b'{"ok": true}'
                     self.send_response(202)
                     self.send_header("Content-Type", "application/json")

@@ -670,3 +670,29 @@ def test_global_distinct_marks_on_workers(runner, local_engine):
     assert mdp is not None
     assert any(mdp[:len(p)] == tuple(p) for p in sources), (
         mdp, list(sources))
+
+
+def test_topology_aware_node_selector():
+    """SURVEY §2.1 'Node scheduling topology': rack labels announced by
+    workers interleave task placement across racks; unlabeled clusters
+    keep uniform round-robin."""
+    from presto1_tpu.server.discovery import (
+        NodeInfo, NodeRegistry, TopologyAwareNodeSelector,
+        make_node_selector,
+    )
+
+    reg = NodeRegistry()
+    for i, rack in enumerate(["r1", "r1", "r2", "r2"]):
+        reg.announce(f"n{i}", f"http://w{i}", "tpch:tiny",
+                     topology={"rack": rack})
+    nodes = reg.all_nodes()
+    sel = make_node_selector(nodes)
+    assert isinstance(sel, TopologyAwareNodeSelector)
+    ordered = sel.order(nodes)
+    racks = [n.topology["rack"] for n in ordered]
+    assert racks == ["r1", "r2", "r1", "r2"]  # interleaved
+    # consecutive indexes never share a rack while both racks have nodes
+    # unlabeled nodes degrade to singleton domains (round-robin)
+    plain = [NodeInfo(f"p{i}", f"http://p{i}", "t") for i in range(3)]
+    assert [n.node_id for n in TopologyAwareNodeSelector().order(plain)] \
+        == ["p0", "p1", "p2"]
