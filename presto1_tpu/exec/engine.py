@@ -595,8 +595,10 @@ class Engine:
                         local_cap = round_capacity(e.needed)
                 stages["broadcast_joins"] += 1
             else:
-                p_shard = max(lb.capacity() // n_dev, 1)
-                b_shard = max(rb.capacity() // n_dev, 1)
+                from ..parallel.dist_join import prep_shard_rows
+
+                p_shard = prep_shard_rows(lb.capacity(), n_dev)
+                b_shard = prep_shard_rows(rb.capacity(), n_dev)
                 lw = np.asarray(route_word(lb, lkeys, ranges, lb.num_rows))
                 rw = np.asarray(route_word(rb, rkeys, ranges, rb.num_rows))
                 # skew handling IN the shuffle (north star; the reference

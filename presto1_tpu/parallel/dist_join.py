@@ -63,6 +63,17 @@ def route_word(batch: RecordBatch, key_names: Sequence[str], ranges,
     return mix_key_word(cols, ranges, num_rows)
 
 
+def prep_shard_rows(cap: int, n_dev: int) -> int:
+    """Rows per shard EXACTLY as ``_prep`` lays them out (padded to a
+    multiple of ``n_dev*128``).  Quota histograms must use this same
+    boundary: an unpadded ``cap // n_dev`` drifts from the real layout,
+    and with KEY-CLUSTERED inputs (merge-join outputs are sorted by key)
+    the drift concentrates whole runs into the wrong source bucket —
+    observed as a 16-row exchange overflow on mesh q5."""
+    pad = (-cap) % (n_dev * 128)
+    return max((cap + pad) // n_dev, 1)
+
+
 def exchange_quota(word_host: np.ndarray, n_rows: int, n_dev: int,
                    shard_rows: int) -> int:
     """Exact max rows any shard sends to any destination (discovery-time

@@ -90,10 +90,12 @@ def skew_aware_join(
     # cold half: normal repartitioned mesh join (the cold probe slice
     # re-derives its quota — the hot rows are exactly the ones that made
     # the original histogram spike)
-    shard_rows = round_capacity(max(n_cold, 1)) // n_dev or 1
+    from .dist_join import prep_shard_rows
+
+    shard_rows = prep_shard_rows(cold.capacity(), n_dev)
     cold_words = probe_words[:n_rows][~hot_p[:n_rows]]
-    pq = exchange_quota(cold_words, n_cold, n_dev, max(shard_rows, 1))
-    b_shard_rows = round_capacity(build.num_rows) // n_dev or 1
+    pq = exchange_quota(cold_words, n_cold, n_dev, shard_rows)
+    b_shard_rows = prep_shard_rows(build.capacity(), n_dev)
     bq = exchange_quota(build_words, b_rows, n_dev, b_shard_rows)
     cold_out = distributed_hash_join(
         mesh, cold, build, list(probe_keys), list(build_keys), "inner",
