@@ -98,6 +98,18 @@ def parent(rnd: int, sf: float, queries, timeout_s: float) -> None:
         results.append(rec)
 
     path = os.path.join(REPO, f"SWEEP_r{rnd:02d}.json")
+    # merge with a prior partial sweep (keep records for queries not rerun)
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prior = json.load(f)
+            ran = {r["q"] for r in results}
+            results = sorted(
+                [r for r in prior.get("results", [])
+                 if r.get("sf") == sf and r["q"] not in ran] + results,
+                key=lambda r: r["q"])
+        except (ValueError, KeyError):
+            pass
     with open(path, "w") as f:
         json.dump({"sf": sf, "reps": REPS, "trials": TRIALS,
                    "results": results}, f, indent=1)

@@ -125,6 +125,10 @@ class Column:
             assert self.dictionary is not None
             codes = np.clip(data, 0, len(self.dictionary) - 1) if len(self.dictionary) else data
             out = self.dictionary[codes] if len(self.dictionary) else np.array([""] * n, dtype=object)
+            if self.type.kind == "varbinary":
+                # physical latin-1 image -> real bytes at the boundary
+                out = np.array([s.encode("latin-1") for s in out],
+                               dtype=object)
         elif self.type.kind == "decimal":
             out = data / (10 ** self.type.scale)  # type: ignore[attr-defined]
         elif self.type.kind == "date":

@@ -1113,7 +1113,8 @@ def _fold(expr: Call, dicts) -> Expr:
         new_dict, codes = np.unique(np.asarray(values, dtype=str),
                                     return_inverse=True)
         table = np.append(codes.astype(np.int32), np.int32(0))
-        return DictLookup(colref, table, VARCHAR, label=_label(expr), dictionary=new_dict)
+        return DictLookup(colref, table, expr.type, label=_label(expr),
+                          dictionary=new_dict)
     table = np.asarray(values)
     valid_table = None
     if table.dtype == object:  # NULL-bearing fold (CASE without ELSE)
@@ -1247,19 +1248,54 @@ def _eval_strings(expr: Expr, values: np.ndarray):
         return np.array([lev(v, sub)
                          for v in np.asarray(args[0], dtype=str)],
                         dtype=np.int64)
-    if fn == "to_hex":
-        return np.array([v.encode().hex().upper()
-                         for v in np.asarray(args[0], dtype=str)], dtype=str)
-    if fn == "md5":
+    # --- binary family (reference: operator/scalar/VarbinaryFunctions).
+    # varbinary dictionary entries are latin-1 strings: byte k <-> code
+    # point k, bijective and order-preserving, so the whole dictionary
+    # machinery (sorting, comparisons, group-by on codes) is byte-exact.
+    if fn in ("to_hex", "md5", "sha1", "sha256", "sha512", "crc32",
+              "to_utf8", "from_utf8", "from_hex", "to_base64",
+              "from_base64"):
+        import base64
         import hashlib
+        import zlib
 
-        return np.array([hashlib.md5(v.encode()).hexdigest()
-                         for v in np.asarray(args[0], dtype=str)], dtype=str)
-    if fn == "sha256":
-        import hashlib
+        binary_in = expr.args[0].type.kind == "varbinary"
 
-        return np.array([hashlib.sha256(v.encode()).hexdigest()
-                         for v in np.asarray(args[0], dtype=str)], dtype=str)
+        def as_bytes(v: str) -> bytes:
+            return v.encode("latin-1" if binary_in else "utf-8")
+
+        vals = np.asarray(args[0], dtype=str)
+        if fn == "to_hex":
+            return np.array([as_bytes(v).hex().upper() for v in vals],
+                            dtype=str)
+        if fn == "from_hex":
+            return np.array([bytes.fromhex(v).decode("latin-1")
+                             for v in vals], dtype=str)
+        if fn == "to_utf8":
+            return np.array([v.encode("utf-8").decode("latin-1")
+                             for v in vals], dtype=str)
+        if fn == "from_utf8":
+            return np.array(
+                [v.encode("latin-1").decode("utf-8", errors="replace")
+                 for v in vals], dtype=str)
+        if fn == "to_base64":
+            return np.array(
+                [base64.b64encode(as_bytes(v)).decode() for v in vals],
+                dtype=str)
+        if fn == "from_base64":
+            return np.array(
+                [base64.b64decode(v).decode("latin-1") for v in vals],
+                dtype=str)
+        if fn == "crc32":
+            return np.array([zlib.crc32(as_bytes(v)) for v in vals],
+                            dtype=np.int64)
+        digest = getattr(hashlib, fn)
+        if binary_in:  # varbinary -> varbinary (reference signature)
+            return np.array(
+                [digest(as_bytes(v)).digest().decode("latin-1")
+                 for v in vals], dtype=str)
+        return np.array([digest(v.encode()).hexdigest() for v in vals],
+                        dtype=str)
     # --- regex family (reference: operator/scalar/JoniRegexpFunctions) ---
     if fn == "regexp_like":
         pat = re.compile(args[1])
@@ -1388,6 +1424,13 @@ def _eval_strings(expr: Expr, values: np.ndarray):
             out = np.where(cond, val, out)
         return out
     if fn == "cast":
+        if expr.type.is_string:  # identity / char-family casts keep text
+            return np.asarray(args[0], dtype=str)
+        if expr.type.kind == "decimal":
+            scale = _scale_of(expr.type)
+            return np.array(
+                [int(round(float(v) * 10 ** scale))
+                 for v in np.asarray(args[0], dtype=str)], dtype=np.int64)
         return np.asarray(args[0]).astype(expr.type.np_dtype)
     raise NotImplementedError(f"host string op {fn}")
 

@@ -159,17 +159,32 @@ def infer_type(fn: str, args) -> SqlType:
         return t
     if fn == "neg":
         return args[0].type
+    if fn == "||":  # string/varbinary concatenation
+        return common_supertype(args[0].type, args[1].type)
     if fn in ("extract_year", "extract_month", "length", "strpos",
               "codepoint", "json_array_length", "json_size",
-              "url_extract_port", "regexp_count", "levenshtein_distance"):
+              "url_extract_port", "regexp_count", "levenshtein_distance",
+              "crc32"):
         return BIGINT
+    if fn in ("md5", "sha1", "sha256", "sha512"):
+        # reference signature is varbinary -> varbinary
+        # (operator/scalar/VarbinaryFunctions.java); a varchar argument
+        # keeps the legacy hex-string convenience form
+        from ..types import VARBINARY
+
+        return VARBINARY if args[0].type.kind == "varbinary" else VARCHAR
+    if fn in ("to_utf8", "from_hex", "from_base64"):
+        from ..types import VARBINARY
+
+        return VARBINARY
     if fn in ("upper", "lower", "trim", "concat", "replace", "reverse",
               "ltrim", "rtrim", "lpad", "rpad", "split_part", "chr",
               "regexp_extract", "regexp_replace", "json_extract",
               "json_extract_scalar", "json_format", "url_extract_host",
               "url_extract_path", "url_extract_protocol",
               "url_extract_query", "url_extract_fragment", "url_encode",
-              "url_decode", "to_hex", "md5", "sha256", "normalize"):
+              "url_decode", "to_hex", "normalize", "from_utf8",
+              "to_base64"):
         return VARCHAR
     if fn in ("starts_with", "regexp_like", "is_nan", "is_finite",
               "is_infinite"):

@@ -134,6 +134,11 @@ class StringLit(Expr):
 
 
 @dataclass
+class BinaryLit(Expr):
+    value: str  # hex digits, e.g. X'AB01' -> 'AB01'
+
+
+@dataclass
 class DateLit(Expr):
     value: str  # 'YYYY-MM-DD'
 

@@ -570,6 +570,12 @@ class Parser:
         if t.kind == "string":
             self.next()
             return ast.StringLit(t.value)
+        # X'AB01' varbinary literal (SqlBase.g4 BINARY_LITERAL)
+        if t.kind == "ident" and t.value == "x" \
+                and self.peek(1).kind == "string":
+            self.next()
+            hexstr = self.next().value.replace(" ", "")
+            return ast.BinaryLit(hexstr)
         if t.kind == "kw":
             if t.value == "date":
                 self.next()

@@ -1160,6 +1160,16 @@ class ExprConverter:
     def _c_StringLit(self, e: ast.StringLit) -> ir.Expr:
         return ir.Literal(e.value, VARCHAR)
 
+    def _c_BinaryLit(self, e: ast.BinaryLit) -> ir.Expr:
+        from ..types import VARBINARY
+
+        try:
+            raw = bytes.fromhex(e.value)
+        except ValueError:
+            raise PlanError(f"invalid binary literal X'{e.value}'")
+        # physical value = latin-1 image of the bytes (order-preserving)
+        return ir.Literal(raw.decode("latin-1"), VARBINARY)
+
     def _c_DateLit(self, e: ast.DateLit) -> ir.Expr:
         return ir.Literal(_days(e.value), DATE)
 
@@ -1222,7 +1232,9 @@ class ExprConverter:
         # string breadth (operator/scalar/StringFunctions.java)
         "replace", "reverse", "ltrim", "rtrim", "lpad", "rpad", "strpos",
         "starts_with", "split_part", "codepoint", "levenshtein_distance",
-        "to_hex", "md5", "sha256",
+        # binary breadth (operator/scalar/VarbinaryFunctions.java)
+        "to_hex", "md5", "sha256", "sha1", "sha512", "crc32",
+        "to_utf8", "from_utf8", "from_hex", "to_base64", "from_base64",
         # regex (operator/scalar/JoniRegexpFunctions.java)
         "regexp_like", "regexp_extract", "regexp_replace", "regexp_count",
         # json (operator/scalar/JsonFunctions.java)

@@ -39,7 +39,13 @@ class SqlType:
 
     @property
     def is_string(self) -> bool:
-        return self.kind in ("varchar", "char")
+        # varbinary rides the dictionary-coded (string) machinery: its
+        # physical dictionary entries are latin-1 strings, a bijective
+        # ORDER-PRESERVING image of the byte sequences (byte k <-> code
+        # point k), so code comparisons == byte comparisons.  The
+        # reference's VarbinaryType (spi/type/VarbinaryType.java) is a
+        # variable-width block the same way VarcharType is.
+        return self.kind in ("varchar", "char", "varbinary")
 
     @property
     def is_numeric(self) -> bool:
@@ -188,6 +194,7 @@ _NP_DTYPES = {
     "decimal": np.dtype(np.int64),
     "varchar": np.dtype(np.int32),  # dictionary codes
     "char": np.dtype(np.int32),  # dictionary codes
+    "varbinary": np.dtype(np.int32),  # dictionary codes (latin-1 entries)
 }
 
 BIGINT = SqlType("bigint")
@@ -200,6 +207,7 @@ BOOLEAN = SqlType("boolean")
 DATE = SqlType("date")
 TIMESTAMP = TimestampType(3)
 VARCHAR = SqlType("varchar")
+VARBINARY = SqlType("varbinary")
 INTERVAL_DS = SqlType("interval_ds")
 INTERVAL_YM = SqlType("interval_ym")
 
@@ -265,6 +273,7 @@ def parse_type_str(name: str) -> SqlType:
                       ("bigint", BIGINT), ("smallint", SMALLINT),
                       ("tinyint", TINYINT), ("integer", INTEGER),
                       ("int", INTEGER), ("date", DATE),
+                      ("varbinary", VARBINARY),
                       ("varchar", VARCHAR), ("boolean", BOOLEAN),
                       ("bool", BOOLEAN)):
         if n.startswith(prefix):
@@ -299,5 +308,8 @@ def common_supertype(a: SqlType, b: SqlType) -> SqlType:
     if a.kind == "timestamp" and b.kind == "timestamp":
         return a if a.precision >= b.precision else b  # type: ignore[attr-defined]
     if a.is_string and b.is_string:
+        if ("varbinary" in (a.kind, b.kind)) and a.kind != b.kind:
+            raise TypeError("no implicit coercion between varbinary and "
+                            "character types (use to_utf8/from_utf8)")
         return a if a.kind == "varchar" else b
     raise TypeError(f"no common supertype for {a} and {b}")
