@@ -136,6 +136,17 @@ class Column:
         elif self.type.kind == "timestamp":
             out = (np.array(["1970-01-01"], dtype="datetime64[us]")[0]
                    + data.astype("timedelta64[us]"))
+        elif self.type.kind == "timestamptz":
+            # render the civil time in the column's zone + offset suffix
+            off_min = self.type.offset_minutes
+            local = (np.array(["1970-01-01"], dtype="datetime64[us]")[0]
+                     + (data + self.type.offset_micros)
+                     .astype("timedelta64[us]"))
+            sign = "+" if off_min >= 0 else "-"
+            suffix = f" {sign}{abs(off_min) // 60:02d}:{abs(off_min) % 60:02d}"
+            out = np.array(
+                [str(v).replace("T", " ") + suffix for v in local],
+                dtype=object)
         elif self.type.kind == "interval_ds":
             # render like the reference's SqlIntervalDayTime: 'D HH:MM:SS.mmm'
             def _ds(us):

@@ -275,7 +275,10 @@ def _eval_call(expr: Call, batch: RecordBatch):
 
         raw, va, _ = _eval(expr.args[0], batch)
         raw = raw.astype(jnp.int64)
-        if expr.args[0].type.kind == "timestamp":
+        kind = expr.args[0].type.kind
+        if kind == "timestamptz":  # civil fields read in the zone
+            raw = raw + expr.args[0].type.offset_micros
+        if kind in ("timestamp", "timestamptz"):
             days = jnp.floor_divide(raw, MICROS_PER_DAY)
             tod = raw - days * MICROS_PER_DAY  # micros within the day
         else:
@@ -331,11 +334,16 @@ def _eval_call(expr: Call, batch: RecordBatch):
         unit = expr.args[0].value  # constant varchar
         raw, va, _ = _eval(expr.args[1], batch)
         raw = raw.astype(jnp.int64)
-        is_ts = expr.args[1].type.kind == "timestamp"
+        tkind = expr.args[1].type.kind
+        is_ts = tkind in ("timestamp", "timestamptz")
+        # truncate in the zone's civil frame, then shift back to UTC
+        off = (expr.args[1].type.offset_micros
+               if tkind == "timestamptz" else 0)
+        raw = raw + off
         if is_ts and unit in ("millisecond", "second", "minute", "hour"):
             step = {"millisecond": 1_000, "second": 1_000_000,
                     "minute": 60_000_000, "hour": 3_600_000_000}[unit]
-            out = jnp.floor_divide(raw, step) * step
+            out = jnp.floor_divide(raw, step) * step - off
             return _norm(out, va), va, None
         days = jnp.floor_divide(raw, MICROS_PER_DAY) if is_ts else raw
         y, m, dom = _civil_full(days)
@@ -353,7 +361,7 @@ def _eval_call(expr: Call, batch: RecordBatch):
         else:
             raise NotImplementedError(f"date_trunc({unit})")
         if is_ts:
-            return _norm(out * MICROS_PER_DAY, va), va, None
+            return _norm(out * MICROS_PER_DAY - off, va), va, None
         return _norm(out.astype(jnp.int32), va), va, None
 
     if fn == "date_add":
@@ -763,10 +771,24 @@ def _eval_cast(expr: Call, batch: RecordBatch):
             return (data.astype(jnp.int64) * MICROS_PER_DAY, validity, None)
         if t.kind == "timestamp":
             return data, validity, None
-    if target.kind == "date" and t.kind == "timestamp":
+        if t.kind == "timestamptz":
+            # the LOCAL civil timestamp in the column's zone
+            return data + t.offset_micros, validity, None
+    if target.kind == "timestamptz":
         from ..types import MICROS_PER_DAY
 
-        return (jnp.floor_divide(data, MICROS_PER_DAY).astype(jnp.int32),
+        # naive values are session-zone (= UTC) instants, so these casts
+        # are instant-preserving; the target offset is display metadata
+        if t.kind == "date":
+            return (data.astype(jnp.int64) * MICROS_PER_DAY, validity,
+                    None)
+        if t.kind in ("timestamp", "timestamptz"):
+            return data, validity, None
+    if target.kind == "date" and t.kind in ("timestamp", "timestamptz"):
+        from ..types import MICROS_PER_DAY
+
+        local = data if t.kind == "timestamp" else data + t.offset_micros
+        return (jnp.floor_divide(local, MICROS_PER_DAY).astype(jnp.int32),
                 validity, None)
     if target.is_string and t.is_string:
         return data, validity, d  # char <-> varchar share dictionary codes
@@ -1430,6 +1452,20 @@ def _eval_strings(expr: Expr, values: np.ndarray):
             scale = _scale_of(expr.type)
             return np.array(
                 [int(round(float(v) * 10 ** scale))
+                 for v in np.asarray(args[0], dtype=str)], dtype=np.int64)
+        if expr.type.kind == "date" and expr.args[0].type.is_string:
+            epoch_d = np.datetime64("1970-01-01", "D")
+            return np.array(
+                [int((np.datetime64(str(v).strip(), "D") - epoch_d)
+                     / np.timedelta64(1, "D"))
+                 for v in np.asarray(args[0], dtype=str)], dtype=np.int32)
+        if expr.type.kind in ("timestamp", "timestamptz") \
+                and expr.args[0].type.is_string:
+            epoch_us = np.datetime64("1970-01-01T00:00:00", "us")
+            return np.array(
+                [int((np.datetime64(str(v).strip().replace(" ", "T", 1),
+                                    "us") - epoch_us)
+                     / np.timedelta64(1, "us"))
                  for v in np.asarray(args[0], dtype=str)], dtype=np.int64)
         return np.asarray(args[0]).astype(expr.type.np_dtype)
     raise NotImplementedError(f"host string op {fn}")

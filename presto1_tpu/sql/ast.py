@@ -155,6 +155,12 @@ class IntervalLit(Expr):
 
 
 @dataclass
+class AtTimeZone(Expr):
+    expr: "Expr"
+    zone: str  # '+05:30' | 'UTC'
+
+
+@dataclass
 class BinaryOp(Expr):
     op: str
     left: Expr

@@ -543,6 +543,14 @@ class Parser:
             if t.kind == "op" and t.value in ("*", "/", "%"):
                 self.next()
                 left = ast.BinaryOp(t.value, left, self._unary())
+            elif (t.kind == "ident" and t.value == "at"
+                  and self.peek(1).kind == "ident"
+                  and self.peek(1).value == "time"
+                  and self.peek(2).kind == "ident"
+                  and self.peek(2).value == "zone"):
+                self.next(), self.next(), self.next()
+                zone = self.expect("string").value
+                left = ast.AtTimeZone(left, zone)
             else:
                 return left
 

@@ -1125,6 +1125,12 @@ class ExprConverter:
                 import time as _time
 
                 return ir.Literal(int(_time.time() // 86400), DATE)
+            if e.qualifier is None and e.name in (
+                    "current_timestamp", "localtimestamp"):
+                # niladic SQL specials (parenless in the grammar)
+                import presto1_tpu.sql.ast as _ast
+
+                return self._c_FuncCall(_ast.FuncCall(e.name, []))
             # row field access: r.a / t.r.a — the prefix names a
             # row-typed field, the last part selects its member
             if len(e.parts) >= 2:
@@ -1174,9 +1180,43 @@ class ExprConverter:
         return ir.Literal(_days(e.value), DATE)
 
     def _c_TimestampLit(self, e: ast.TimestampLit) -> ir.Expr:
-        from ..types import TIMESTAMP
+        import re as _re
 
+        from ..types import TIMESTAMP, TimestampTzType, parse_zone_offset
+
+        # trailing zone => TIMESTAMP WITH TIME ZONE literal
+        # ('2020-01-01 10:00:00 +05:30' / '... UTC')
+        m = _re.match(r"^(.*?)\s*(Z|UTC|GMT|[+-]\d{1,2}(?::\d{2})?)$",
+                      e.value.strip(), _re.IGNORECASE)
+        if m and not m.group(1).strip().endswith("-"):
+            try:
+                offset = parse_zone_offset(m.group(2))
+            except ValueError:
+                offset = None
+            if offset is not None and _re.search(r"\d{2}:\d{2}",
+                                                 m.group(1)):
+                local = _micros(m.group(1).strip())
+                return ir.Literal(local - offset * 60_000_000,
+                                  TimestampTzType(3, offset))
         return ir.Literal(_micros(e.value), TIMESTAMP)
+
+    def _c_AtTimeZone(self, e) -> ir.Expr:
+        from ..types import TimestampTzType, parse_zone_offset
+
+        inner = self.convert(e.expr)
+        try:
+            offset = parse_zone_offset(e.zone)
+        except ValueError as ex:
+            raise PlanError(str(ex))
+        t = inner.type
+        if t.kind not in ("timestamp", "timestamptz", "date"):
+            raise PlanError(f"AT TIME ZONE over {t} (need a timestamp)")
+        prec = getattr(t, "precision", 3)
+        target = TimestampTzType(prec, offset)
+        # instant-preserving: naive values are session-zone (UTC)
+        # instants, tz values stay the same instant — only the display
+        # zone changes (a pure type rewrite; zero device work)
+        return ir.call("cast", inner, type=target)
 
     def _c_BinaryOp(self, e: ast.BinaryOp) -> ir.Expr:
         # date/timestamp ± interval: constant-fold on date literals,
@@ -1397,9 +1437,14 @@ class ExprConverter:
         if name in ("current_timestamp", "now", "localtimestamp"):
             import time as _time
 
-            from ..types import TIMESTAMP
+            from ..types import TIMESTAMP, TimestampTzType
 
-            return ir.Literal(int(_time.time() * 1_000_000), TIMESTAMP)
+            # current_timestamp/now are zoned (session zone = UTC, the
+            # reference's CURRENT_TIMESTAMP returns timestamp with tz);
+            # localtimestamp stays naive
+            t = (TIMESTAMP if name == "localtimestamp"
+                 else TimestampTzType(3, 0))
+            return ir.Literal(int(_time.time() * 1_000_000), t)
         raise PlanError(
             f"aggregate {e.name} in invalid context (or unknown function)")
 

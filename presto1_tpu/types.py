@@ -88,6 +88,54 @@ class TimestampType(SqlType):
 
 
 @dataclass(frozen=True)
+class TimestampTzType(SqlType):
+    """TIMESTAMP(p) WITH TIME ZONE — re-designed TPU-first.
+
+    The reference packs (epoch_millis << 12 | zoneKey) per VALUE
+    (``spi/type/DateTimeEncoding.java``), unpacking for every comparison.
+    Here the data array is plain UTC int64 microseconds (directly
+    comparable/sortable — no unpacking anywhere on device) and the zone
+    is COLUMN metadata: a fixed offset in minutes carried on the type.
+    ``AT TIME ZONE`` is therefore free (it rewrites the type, not the
+    data).  Scope: fixed-offset zones and UTC; named DST zones are
+    rejected at parse time (documented deviation, PARITY.md)."""
+
+    precision: int = 3
+    offset_minutes: int = 0
+
+    def __init__(self, precision: int = 3, offset_minutes: int = 0):
+        object.__setattr__(self, "kind", "timestamptz")
+        object.__setattr__(self, "precision", min(int(precision), 6))
+        object.__setattr__(self, "offset_minutes", int(offset_minutes))
+
+    @property
+    def offset_micros(self) -> int:
+        return self.offset_minutes * 60_000_000
+
+    def __str__(self):
+        return (f"timestamptz({self.precision},"
+                f"{self.offset_minutes:+d})")
+
+
+def parse_zone_offset(zone: str) -> int:
+    """'+05:30' / '-08:00' / 'UTC' / 'Z' -> minutes east of UTC."""
+    z = zone.strip()
+    if z.upper() in ("UTC", "Z", "+00:00", "-00:00", "GMT"):
+        return 0
+    sign = {"+": 1, "-": -1}.get(z[:1])
+    body = z[1:]
+    if sign and (":" in body or body.isdigit()):
+        hh, _, mm = body.partition(":")
+        try:
+            return sign * (int(hh) * 60 + int(mm or "0"))
+        except ValueError:
+            pass
+    raise ValueError(
+        f"unsupported time zone {zone!r}: fixed offsets ('+05:30') and "
+        "UTC only (named DST zones are out of scope, PARITY.md)")
+
+
+@dataclass(frozen=True)
 class CharType(SqlType):
     """CHAR(n) — dictionary-coded like varchar; comparisons ignore
     trailing pad spaces (values are stored stripped, the reference's
@@ -191,6 +239,7 @@ _NP_DTYPES = {
     "boolean": np.dtype(np.bool_),
     "date": np.dtype(np.int32),
     "timestamp": np.dtype(np.int64),  # micros since epoch
+    "timestamptz": np.dtype(np.int64),  # UTC micros (zone = type metadata)
     "decimal": np.dtype(np.int64),
     "varchar": np.dtype(np.int32),  # dictionary codes
     "char": np.dtype(np.int32),  # dictionary codes
@@ -265,6 +314,11 @@ def parse_type_str(name: str) -> SqlType:
     if n.startswith("decimal"):
         p, s = (paren_args(["12", "2"]) + ["0"])[:2]
         return DecimalType(int(p), int(s))
+    if n.startswith("timestamptz"):
+        a = (paren_args(["3", "0"]) + ["0"])[:2]
+        return TimestampTzType(int(a[0]), int(a[1]))
+    if n.startswith("timestamp") and "with time zone" in n:
+        return TimestampTzType(int(paren_args(["3"])[0]))
     if n.startswith("timestamp"):
         return TimestampType(int(paren_args(["3"])[0]))
     if n.startswith("char"):
@@ -307,6 +361,10 @@ def common_supertype(a: SqlType, b: SqlType) -> SqlType:
         return a if a.kind == "timestamp" else b
     if a.kind == "timestamp" and b.kind == "timestamp":
         return a if a.precision >= b.precision else b  # type: ignore[attr-defined]
+    if "timestamptz" in (a.kind, b.kind) and \
+            {a.kind, b.kind} <= {"timestamptz", "timestamp", "date"}:
+        # instants win; both sides are (or coerce to) UTC micros
+        return a if a.kind == "timestamptz" else b
     if a.is_string and b.is_string:
         if ("varbinary" in (a.kind, b.kind)) and a.kind != b.kind:
             raise TypeError("no implicit coercion between varbinary and "
