@@ -70,7 +70,13 @@ def main():
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--workers", type=int, nargs="+", default=[1, 2, 4])
     ap.add_argument("--queries", type=int, nargs="+", default=[1, 3])
+    ap.add_argument("--planes", default="single,mesh,dcn",
+                    help="comma list: single,mesh,dcn (the 8-virtual-"
+                         "device mesh all-reduce rendezvous hard-aborts "
+                         "after 40s under host contention — run the mesh "
+                         "plane on an otherwise idle host)")
     args = ap.parse_args()
+    planes = set(args.planes.split(","))
 
     from presto1_tpu.exec.catalog import TpchCatalog
     from presto1_tpu.exec.engine import Engine
@@ -85,7 +91,7 @@ def main():
     # ---- plane 1: single-process compiled
     engine = Engine(catalog)
     single = {}
-    for qid in args.queries:
+    for qid in args.queries if "single" in planes else []:
         cq = engine.compile(Q[qid])
         wall = _bench(lambda: cq.block_run())
         single[qid] = wall
@@ -97,7 +103,7 @@ def main():
 
     # ---- plane 2: mesh (8 virtual devices, cached stage programs)
     mesh_n = 8
-    for qid in args.queries:
+    for qid in args.queries if "mesh" in planes else []:
         info = {}
         wall = _bench(lambda: engine.sql_distributed(Q[qid], mesh_n,
                                                      info=info))
@@ -105,12 +111,13 @@ def main():
                "wall_s": round(wall, 4),
                "lineitem_rows_per_s": int(lineitem_rows / wall),
                "mesh_stages": info.get("mesh_stages"),
-               "vs_single": round(single[qid] / wall, 2)}
+               "vs_single": round(single[qid] / wall, 2)
+               if qid in single else None}
         print(json.dumps(rec), flush=True)
         results.append(rec)
 
     # ---- plane 3: DCN multihost, compiled fragments forced
-    for n in args.workers:
+    for n in args.workers if "dcn" in planes else []:
         with MultiHostRunner(n_workers=n,
                              catalog_spec=f"tpch:{sf_name}") as runner:
             for qid in args.queries:
@@ -120,7 +127,8 @@ def main():
                     "wall_s": round(wall, 4),
                     "lineitem_rows_per_s": int(lineitem_rows / wall),
                     "rows_per_s_per_worker": int(lineitem_rows / wall / n),
-                    "vs_single": round(single[qid] / wall, 2),
+                    "vs_single": round(single[qid] / wall, 2)
+                    if qid in single else None,
                 }
                 print(json.dumps(rec), flush=True)
                 results.append(rec)

@@ -171,10 +171,15 @@ class Engine:
     def sql_pandas(self, sql: str):
         return self.sql(sql).to_pandas()
 
-    def execute_statement(self, sql: str, user: Optional[str] = None):
+    def execute_statement(self, sql: str, user: Optional[str] = None,
+                          stats: Optional[QueryStats] = None):
         """Full statement surface: queries plus CREATE TABLE [AS] /
         INSERT INTO (query or VALUES) / DROP TABLE against writable
-        in-memory tables (the trino-memory connector analog)."""
+        in-memory tables (the trino-memory connector analog).
+
+        ``stats`` collects per-operator attribution for plain queries on
+        the eager path (the compiled path ignores it — its attribution
+        lives in ``CompiledQuery.profile``)."""
         from ..sql import ast
         from ..sql.parser import parse_statement
         from ..sql.planner import parse_type
@@ -202,7 +207,7 @@ class Engine:
                 {"plan": Column(jnp.asarray(codes.astype(np.int32)), VARCHAR,
                                 dictionary=dictionary)}, len(lines))
         if isinstance(stmt, ast.Query):
-            return self.sql(sql, user=user)
+            return self.sql(sql, stats=stats, user=user)
         if isinstance(stmt, ast.CreateTable):
             if stmt.name in self.catalog:
                 raise ValueError(f"table {stmt.name} already exists")

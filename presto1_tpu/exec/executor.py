@@ -24,6 +24,7 @@ materialises, it becomes the aggregation mask.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -1360,6 +1361,7 @@ class CompiledQuery:
             if p is not None:
                 children[p].append(r)
 
+        self._aot = None  # root -> AOT executable (precompile())
         self._stages = []
         for root in roots:  # deepest-first (sorted by len desc)
             node = _node_at(plan, root)
@@ -1436,10 +1438,70 @@ class CompiledQuery:
             out[p] = (data, validity, n, jnp.asarray(True))
         return out
 
+    def precompile(self, max_workers: Optional[int] = None) -> None:
+        """AOT-compile every fragment program CONCURRENTLY.
+
+        The v5e AOT compiler charges a large, size-independent cost per
+        program (measured round 5: 44-312 s per fragment for 150-600
+        line HLO modules — q10's cold wall was the SUM, 612 s, of six
+        such compiles).  Fragments are independent programs, so the fix
+        is structural: thread each stage's output shapes into its
+        consumer with ``jax.eval_shape`` (no stage must RUN before the
+        next can lower), lower everything up front (~0.2 s each), and
+        compile on a thread pool — cold wall becomes ~max(fragment)
+        instead of sum.  The reference's per-task codegen is similarly
+        bounded per expression (``sql/gen/PageFunctionCompiler`` caches).
+
+        Falls back silently to lazy per-stage compilation on any error
+        (``P1_PARALLEL_COMPILE=0`` disables).
+        """
+        import concurrent.futures as cf
+
+        if self._aot:
+            return
+        self._aot = {}
+        if os.environ.get("P1_PARALLEL_COMPILE", "1") == "0" \
+                or len(self._stages) <= 1:
+            return
+        try:
+            def _struct(x):
+                a = jnp.asarray(x) if not hasattr(x, "shape") else x
+                return jax.ShapeDtypeStruct(a.shape, a.dtype)
+
+            results: Dict[Path, tuple] = {}
+            if self.external:
+                for p, tup in self._external_tuples(None).items():
+                    results[p] = jax.tree_util.tree_map(_struct, tup)
+            lowered = []
+            for root, child_roots, jfn in self._stages:
+                frag_inputs = {}
+                for cr in child_roots:
+                    data, validity, n, _ = results[cr]
+                    for nm, _t, _d, _hv in self._meta[cr]:
+                        frag_inputs[_k(cr, nm, "d")] = data[nm]
+                        if nm in validity:
+                            frag_inputs[_k(cr, nm, "v")] = validity[nm]
+                    frag_inputs[_k(cr, "", "n")] = n
+                results[root] = jax.eval_shape(jfn, self.inputs,
+                                               frag_inputs)
+                lowered.append((root, jfn.lower(self.inputs, frag_inputs)))
+            workers = max_workers or int(
+                os.environ.get("P1_COMPILE_WORKERS", "4"))
+            with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+                futs = [(root, pool.submit(low.compile))
+                        for root, low in lowered]
+                for root, fut in futs:
+                    self._aot[root] = fut.result()
+        except Exception:  # noqa: BLE001 — lazy path still works
+            self._aot = {}
+
     def _run(self, ext: Optional[Dict[Path, tuple]] = None):
+        if self._aot is None:
+            self.precompile()
         results: Dict[Path, tuple] = dict(ext or {})
         oks = []
         for root, child_roots, jfn in self._stages:
+            jfn = (self._aot or {}).get(root, jfn)
             frag_inputs = {}
             for cr in child_roots:
                 data, validity, n, _ = results[cr]

@@ -52,10 +52,11 @@ class ManagedQuery:
         self.created = time.time()
         self.wall_s: Optional[float] = None
         self.resource_group: Optional[str] = None
+        self.stats = None  # exec.stats.QueryStats (eager-path queries)
         self.lock = threading.Lock()
 
     def info(self) -> dict:
-        return {
+        out = {
             "id": self.id,
             "state": self.state,
             "query": self.sql,
@@ -63,6 +64,17 @@ class ManagedQuery:
             "wall_s": self.wall_s,
             "rows": len(self.rows) if self.state == QueryState.FINISHED else None,
         }
+        if self.stats is not None and self.stats.operators:
+            # QueryStats tree flattened for the wire (OperatorStats
+            # analog, ``operator/OperatorStats.java``)
+            out["operators"] = [
+                {"path": "/".join(map(str, path)), "operator": op.name,
+                 "detail": op.detail, "wall_ms": round(op.wall_s * 1000, 2),
+                 "output_rows": int(op.output_rows),
+                 "invocations": op.invocations}
+                for path, op in sorted(self.stats.operators.items())
+            ]
+        return out
 
 
 class QueryManager:
@@ -107,7 +119,14 @@ class QueryManager:
         # (Engine._enforce_access) and fails closed: a parse/plan error
         # fails the query before any table is read.
         try:
-            out = self.engine.execute_statement(q.sql, user=q.session.user)
+            # per-operator attribution on the eager path; the compiled
+            # path keeps its cache (stats would force eager execution)
+            if not self.engine.session.get("compile_queries"):
+                from ..exec.stats import QueryStats
+
+                q.stats = QueryStats()
+            out = self.engine.execute_statement(q.sql, user=q.session.user,
+                                                stats=q.stats)
             n = out.num_rows if isinstance(out.num_rows, int) else int(out.num_rows)
             decoded = {name: c.decode(n) for name, c in out.columns.items()}
             q.columns = [
@@ -184,6 +203,15 @@ th{background:#222}.FINISHED{color:#7c7}.FAILED{color:#e77}
 <body><h2>presto1-tpu coordinator</h2><table>
 <tr><th>query id</th><th>state</th><th>user</th><th>wall s</th><th>sql</th></tr>
 %ROWS%</table></body></html>"""
+
+_UI_DETAIL = """<!doctype html>
+<html><head><title>presto1-tpu query</title><style>
+body{font-family:monospace;margin:2em;background:#111;color:#ddd}
+table{border-collapse:collapse}td,th{border:1px solid #444;padding:4px 10px}
+th{background:#222}.FINISHED{color:#7c7}.FAILED{color:#e77}
+.RUNNING{color:#7cf}.QUEUED{color:#cc7}pre{background:#181818;padding:1em}
+a{color:#9cf}</style></head>
+<body><p><a href="/ui">&larr; queries</a></p>%BODY%</body></html>"""
 
 
 class CoordinatorServer:
@@ -311,13 +339,66 @@ class CoordinatorServer:
                         # user-controlled fields are escaped (stored-XSS
                         # guard: sql text / user name render as data)
                         rows.append(
-                            f"<tr><td>{_html.escape(q.id)}</td>"
+                            f"<tr><td><a href=\"/ui/query/{_html.escape(q.id)}\""
+                            f" style=\"color:#9cf\">{_html.escape(q.id)}</a></td>"
                             f"<td class={q.state}>{q.state}</td>"
                             f"<td>{_html.escape(str(q.session.user))}</td>"
                             f"<td>{wall}</td>"
                             f"<td>{_html.escape(sql_short)}</td></tr>")
                     body = _UI_PAGE.replace("%ROWS%", "\n".join(rows)) \
                         .encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                if parts[:2] == ["ui", "query"] and len(parts) == 3:
+                    # per-query detail: live plan + operator stats (the
+                    # reference UI's query.html stage/operator view)
+                    import html as _html
+
+                    q = manager.queries.get(parts[2])
+                    if q is None:
+                        self._send(404, {"error": "unknown query"})
+                        return
+                    sections = [
+                        f"<h2>query {_html.escape(q.id)} "
+                        f"<span class={q.state}>{q.state}</span></h2>",
+                        f"<pre>{_html.escape(q.sql)}</pre>",
+                    ]
+                    if q.wall_s is not None:
+                        sections.append(f"<p>wall: {q.wall_s:.3f} s, "
+                                        f"rows: {len(q.rows)}</p>")
+                    if q.error:
+                        sections.append(
+                            f"<p class=FAILED>{_html.escape(q.error)}</p>")
+                    if q.stats is not None and q.stats.operators:
+                        try:  # annotated live plan (EXPLAIN ANALYZE view)
+                            plan = manager.engine.plan(q.sql,
+                                                       user=q.session.user)
+                            sections.append(
+                                "<h3>plan</h3><pre>"
+                                + _html.escape(q.stats.render(plan))
+                                + "</pre>")
+                        except Exception:  # noqa: BLE001 — table instead
+                            pass
+                        ops = [
+                            "<h3>operators</h3><table><tr><th>path</th>"
+                            "<th>operator</th><th>wall ms</th>"
+                            "<th>rows</th><th>calls</th></tr>"]
+                        for path, op in sorted(q.stats.operators.items()):
+                            ops.append(
+                                f"<tr><td>{'/'.join(map(str, path)) or '.'}"
+                                f"</td><td>{_html.escape(op.name)}"
+                                f" {_html.escape(op.detail)}</td>"
+                                f"<td>{op.wall_s * 1000:.2f}</td>"
+                                f"<td>{op.output_rows}</td>"
+                                f"<td>{op.invocations}</td></tr>")
+                        sections.append("".join(ops) + "</table>")
+                    body = _UI_DETAIL.replace(
+                        "%BODY%", "".join(sections)).encode()
                     self.send_response(200)
                     self.send_header("Content-Type",
                                      "text/html; charset=utf-8")
