@@ -174,6 +174,22 @@ def iota(n: int) -> jnp.ndarray:
     return jnp.arange(n, dtype=jnp.int64)
 
 
+def _wide_sort_rows() -> int:
+    """Row threshold above which wide (>8 payload operand) sorts switch
+    from the variadic payload sort to the perm + packed-gather form.
+
+    The v5e AOT compiler charges hundreds of seconds for wide variadic
+    sorts well below the original 65536 gate (round-5 bisect: q10's
+    16-operand sort at 49,152 rows compiled for 312 s — the dominant
+    term of its 612 s cold wall), while the gather form is crash-prone
+    only at TINY shapes (round-3 remote_compile HTTP 500 repro).  8192
+    keeps tiny batches on the payload sort and routes everything else
+    to the gather form.  Override: P1_WIDE_SORT_ROWS."""
+    import os
+
+    return int(os.environ.get("P1_WIDE_SORT_ROWS", "8192"))
+
+
 def searchsorted_cosort(a: jnp.ndarray, v: jnp.ndarray,
                         side: str = "left") -> jnp.ndarray:
     """Scatter-free co-sorting searchsorted for TPU.

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..batch import Column, RecordBatch
 from ..expr.ir import Expr
 from ..expr.eval import eval_expr, eval_predicate
-from .common import iota
+from .common import _wide_sort_rows, iota
 
 
 def filter_mask(predicate: Expr, batch: RecordBatch) -> jnp.ndarray:
@@ -92,7 +92,7 @@ def compact(batch: RecordBatch, mask: jnp.ndarray,
     # (measured 6.29M rows: pair-packed sort 119 ms vs 18-entry stacked
     # gather 254 ms — experiments/gather_vs_widesort.py).  Nested
     # (array/map) columns are [n, W] matrices — always gather-moved.
-    if (len(payload) > 8 and n > 65536) \
+    if (len(payload) > 8 and n > _wide_sort_rows()) \
             or any(c.is_nested for c in batch.columns.values()):
         packed = _sort_compact_packed(batch, key, cap, count)
         if packed is not None:

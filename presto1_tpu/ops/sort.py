@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..batch import Column, RecordBatch
-from .common import iota
+from .common import _wide_sort_rows, iota
 
 
 @dataclass
@@ -64,7 +64,7 @@ def sort_batch(batch: RecordBatch, keys: List[SortKey],
             payload.append(c.validity.astype(jnp.int8))
     nkeys = 1 + len(keys)
     key_ops = [dead] + [_sortable(k, n) for k in keys]
-    if (len(payload) > 8 and n > 65536) \
+    if (len(payload) > 8 and n > _wide_sort_rows()) \
             or any(c.is_nested for c in batch.columns.values()):
         # wide LARGE outputs: a variadic sort with one operand per column
         # makes the TPU AOT compiler fall off a cliff (>45 min at 30
